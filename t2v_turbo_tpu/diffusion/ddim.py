@@ -1,0 +1,122 @@
+"""Training-time DDIM ODE solver with VideoCrafter2 latent scaling and DDIM
+inversion — the `DDIMSolver` equivalent (reference ode_solver/ddim_solver.py).
+
+Implemented as a frozen pytree dataclass of precomputed tables + pure step
+functions, so the solver can be closed over (or donated) by pjit'd train
+steps and by the jitted inversion scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import bcast_right, extract, make_vc2_scale_arr
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DDIMSolver:
+    """Precomputed DDIM grid over `ddim_timesteps` uniform steps.
+
+    Tables are float32 (N,) where N = ddim_timesteps; `alpha_cumprods` is the
+    full (T,) table used by the inversion step. Cf. reference
+    ode_solver/ddim_solver.py:8-52.
+    """
+
+    alpha_cumprods: jax.Array  # (T,)
+    ddim_timesteps: jax.Array  # (N,) int32
+    ddim_alpha_cumprods: jax.Array  # (N,)
+    ddim_alpha_cumprods_prev: jax.Array  # (N,)
+    ddim_scale_arr: jax.Array  # (N,) ones when use_scale=False
+    ddim_scale_arr_prev: jax.Array  # (N,)
+    ddim_sigmas: jax.Array  # (N,) zeros when eta=0
+    step_ratio: int = dataclasses.field(metadata=dict(static=True))
+    use_scale: bool = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def create(
+        cls,
+        alpha_cumprods: np.ndarray,
+        timesteps: int = 1000,
+        ddim_timesteps: int = 50,
+        scale_a: float = 1.0,
+        scale_b: float = 0.7,
+        mid_step: int = 400,
+        ddim_eta: float = 0.0,
+        use_scale: bool = False,
+        dtype=jnp.float32,
+    ) -> "DDIMSolver":
+        alpha_cumprods = np.asarray(alpha_cumprods, dtype=np.float64)
+        step_ratio = timesteps // ddim_timesteps
+        ts = (np.arange(1, ddim_timesteps + 1) * step_ratio).round().astype(np.int64) - 1
+        ac = alpha_cumprods[ts]
+        ac_prev = np.concatenate([alpha_cumprods[:1], alpha_cumprods[ts[:-1]]])
+        if use_scale:
+            scale_arr = make_vc2_scale_arr(timesteps, scale_a, scale_b, mid_step)
+            s = scale_arr[ts]
+            s_prev = np.concatenate([scale_arr[:1], scale_arr[ts[:-1]]])
+        else:
+            s = np.ones_like(ac)
+            s_prev = np.ones_like(ac)
+        sigmas = ddim_eta * np.sqrt((1 - ac_prev) / (1 - ac) * (1 - ac / ac_prev))
+        as_dt = lambda a: jnp.asarray(a, dtype=dtype)
+        return cls(
+            alpha_cumprods=as_dt(alpha_cumprods),
+            ddim_timesteps=jnp.asarray(ts, dtype=jnp.int32),
+            ddim_alpha_cumprods=as_dt(ac),
+            ddim_alpha_cumprods_prev=as_dt(ac_prev),
+            ddim_scale_arr=as_dt(s),
+            ddim_scale_arr_prev=as_dt(s_prev),
+            ddim_sigmas=as_dt(sigmas),
+            step_ratio=step_ratio,
+            use_scale=use_scale,
+        )
+
+    def ddim_step(
+        self,
+        pred_x0: jax.Array,
+        pred_noise: jax.Array,
+        timestep_index: jax.Array,
+        noise: jax.Array | None = None,
+    ) -> jax.Array:
+        """Deterministic DDIM step x_t -> x_{t-Δ} on the precomputed grid.
+
+        timestep_index: (B,) indices into the DDIM grid. `noise` is only used
+        when use_scale and ddim_eta > 0 (explicit RNG; reference used
+        torch.randn_like, ode_solver/ddim_solver.py:82).
+        Cf. reference ode_solver/ddim_solver.py:67-87.
+        """
+        nd = pred_x0.ndim
+        ac_prev = extract(self.ddim_alpha_cumprods_prev, timestep_index, nd)
+        dir_xt = jnp.sqrt(1.0 - ac_prev) * pred_noise
+        if self.use_scale:
+            scale_t = extract(self.ddim_scale_arr, timestep_index, nd)
+            scale_prev = extract(self.ddim_scale_arr_prev, timestep_index, nd)
+            sigma_t = extract(self.ddim_sigmas, timestep_index, nd)
+            eps = 0.0 if noise is None else sigma_t * noise
+            coef = scale_prev / scale_t
+            return jnp.sqrt(ac_prev) * coef * pred_x0 + dir_xt + eps
+        return jnp.sqrt(ac_prev) * pred_x0 + dir_xt
+
+    def ddim_reverse_step(
+        self, x_prev: jax.Array, pred_noise: jax.Array, ts: jax.Array
+    ) -> jax.Array:
+        """DDIM inversion step x_{t-Δ} -> x_t (deterministic, no scale).
+        ts: (B,) absolute timesteps. Cf. reference ode_solver/ddim_solver.py:89-97.
+        """
+        assert not self.use_scale
+        nd = x_prev.ndim
+        prev_ts = jnp.clip(ts - self.step_ratio, 0, None)
+        ac_next = extract(self.alpha_cumprods, ts, nd)
+        ac = extract(self.alpha_cumprods, prev_ts, nd)
+        return (x_prev - jnp.sqrt(1.0 - ac) * pred_noise) * jnp.sqrt(
+            ac_next / ac
+        ) + jnp.sqrt(1.0 - ac_next) * pred_noise
+
+    def index_to_timestep(self, index: jax.Array) -> jax.Array:
+        """Map DDIM grid index -> absolute diffusion timestep."""
+        return jnp.take(self.ddim_timesteps, index, axis=0)

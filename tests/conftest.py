@@ -8,7 +8,6 @@ Env vars must be set before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +16,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_default_matmul_precision", "float32")
+# The environment exports JAX_PLATFORMS=axon (the TPU tunnel), which wins over
+# env-var overrides set here; jax.config.update is authoritative instead.
+jax.config.update("jax_platforms", "cpu")

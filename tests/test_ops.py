@@ -1,0 +1,146 @@
+"""Tests for attention kernels and norm ops against numpy/XLA oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from t2v_turbo_tpu.ops import (
+    attention_xla,
+    flash_attention,
+    group_norm,
+    layer_norm,
+    scaled_dot_product_attention,
+)
+
+
+def _qkv(key, b, h, sq, sk, d, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, sq, d), dtype)
+    k = jax.random.normal(k2, (b, h, sk, d), dtype)
+    v = jax.random.normal(k3, (b, h, sk, d), dtype)
+    return q, k, v
+
+
+class TestAttentionXLA:
+    def test_matches_numpy(self):
+        q, k, v = _qkv(jax.random.PRNGKey(0), 1, 2, 8, 8, 16)
+        out = attention_xla(q, k, v)
+        qn, kn, vn = map(np.asarray, (q, k, v))
+        logits = np.einsum("bhqd,bhkd->bhqk", qn, kn) / np.sqrt(16)
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        expected = np.einsum("bhqk,bhkd->bhqd", p, vn)
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_causal(self):
+        q, k, v = _qkv(jax.random.PRNGKey(1), 1, 1, 6, 6, 8)
+        out, probs = attention_xla(q, k, v, causal=True, return_probs=True)
+        pn = np.asarray(probs)[0, 0]
+        assert np.allclose(np.triu(pn, k=1), 0.0, atol=1e-7)
+        np.testing.assert_allclose(pn.sum(-1), 1.0, rtol=1e-5)
+
+    def test_bias(self):
+        q, k, v = _qkv(jax.random.PRNGKey(2), 1, 1, 4, 4, 8)
+        bias = jnp.full((1, 1, 4, 4), -1e9).at[:, :, :, 0].set(0.0)
+        out = attention_xla(q, k, v, bias=bias)
+        # with all mass on k=0, output == v[..., 0, :]
+        np.testing.assert_allclose(
+            out[0, 0], np.tile(np.asarray(v)[0, 0, 0], (4, 1)), atol=1e-5
+        )
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize(
+        "b,h,sq,sk,d",
+        [
+            (1, 2, 256, 256, 64),  # aligned
+            (1, 2, 640, 640, 64),  # spatial self-attn shape at 1/16 res
+            (1, 5, 512, 77, 64),  # cross-attn with padded K
+            (1, 2, 100, 100, 64),  # unaligned both ways
+        ],
+    )
+    def test_matches_xla(self, b, h, sq, sk, d):
+        q, k, v = _qkv(jax.random.PRNGKey(3), b, h, sq, sk, d)
+        out = flash_attention(q, k, v)
+        expected = attention_xla(q, k, v)
+        np.testing.assert_allclose(out, expected, atol=2e-3, rtol=2e-3)
+
+    def test_bf16(self):
+        q, k, v = _qkv(jax.random.PRNGKey(4), 1, 2, 512, 512, 64, jnp.bfloat16)
+        out = flash_attention(q, k, v)
+        expected = attention_xla(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            out.astype(jnp.float32), expected, atol=3e-2, rtol=3e-2
+        )
+
+    def test_grad_matches_xla(self):
+        q, k, v = _qkv(jax.random.PRNGKey(5), 1, 2, 256, 256, 32)
+
+        def f_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(attention_xla(q, k, v) ** 2)
+
+        gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(a, b_, atol=2e-3, rtol=2e-3)
+
+    def test_dispatcher(self):
+        q, k, v = _qkv(jax.random.PRNGKey(6), 1, 1, 16, 16, 8)
+        # tiny sequence -> XLA path; bias path -> XLA
+        out = scaled_dot_product_attention(q, k, v)
+        np.testing.assert_allclose(out, attention_xla(q, k, v), atol=1e-5)
+        bias = jnp.zeros((1, 1, 16, 16))
+        out2 = scaled_dot_product_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(out2, attention_xla(q, k, v), atol=1e-5)
+
+
+class TestNorms:
+    def test_group_norm_matches_torch_semantics(self):
+        torch = pytest.importorskip("torch")
+        x = np.random.RandomState(0).randn(2, 5, 7, 32).astype(np.float32)
+        scale = np.random.RandomState(1).randn(32).astype(np.float32)
+        bias = np.random.RandomState(2).randn(32).astype(np.float32)
+        out = group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), 8)
+        gn = torch.nn.GroupNorm(8, 32)
+        with torch.no_grad():
+            gn.weight.copy_(torch.from_numpy(scale))
+            gn.bias.copy_(torch.from_numpy(bias))
+            # torch expects NCHW
+            xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+            expected = gn(xt).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_group_norm_5d(self):
+        # (B, T, H, W, C) — temporal tensors normalize identically
+        x = np.random.RandomState(3).randn(1, 4, 3, 3, 16).astype(np.float32)
+        out5 = group_norm(
+            jnp.asarray(x), jnp.ones(16), jnp.zeros(16), 4
+        )
+        out4 = group_norm(
+            jnp.asarray(x.reshape(1, 12, 3, 16)), jnp.ones(16), jnp.zeros(16), 4
+        )
+        np.testing.assert_allclose(out5.reshape(1, 12, 3, 16), out4, atol=1e-6)
+
+    def test_layer_norm(self):
+        x = np.random.RandomState(4).randn(3, 10).astype(np.float32)
+        out = layer_norm(jnp.asarray(x), jnp.ones(10), jnp.zeros(10))
+        mu = x.mean(-1, keepdims=True)
+        sd = x.std(-1, keepdims=True)
+        np.testing.assert_allclose(out, (x - mu) / np.sqrt(sd**2 + 1e-5), atol=1e-5)
+
+    def test_bf16_precision_preserved(self):
+        x = (np.random.RandomState(5).randn(2, 8, 64) * 100).astype(np.float32)
+        out_f32 = group_norm(jnp.asarray(x), jnp.ones(64), jnp.zeros(64), 32)
+        out_bf16 = group_norm(
+            jnp.asarray(x, jnp.bfloat16), jnp.ones(64), jnp.zeros(64), 32
+        )
+        np.testing.assert_allclose(
+            out_bf16.astype(jnp.float32), out_f32, atol=2e-2, rtol=2e-2
+        )

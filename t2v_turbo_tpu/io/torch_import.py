@@ -1,0 +1,364 @@
+"""PyTorch checkpoint -> JAX pytree importers for all model families.
+
+Maps Lightning-style state dicts (the VideoCrafter2 `model.ckpt` layout:
+`model.diffusion_model.*` UNet, `first_stage_model.*` VAE,
+`cond_stage_model.model.*` OpenCLIP text tower — reference
+utils/common_utils.py:399-411, lvdm/models/ddpm3d.py) onto the channels-last
+flax parameter trees of this package.
+
+Conventions:
+- torch Linear weight (out, in)    -> Dense kernel (in, out)        [transpose]
+- torch Conv2d weight (O, I, H, W) -> Conv kernel (H, W, I, O)
+- torch Conv3d (O, I, 3, 1, 1)     -> temporal Conv kernel (3, 1, I, O)
+- torch Conv1d/Conv2d 1x1          -> Dense kernel (in, out)
+- torch GroupNorm/LayerNorm weight/bias -> scale/bias
+
+Everything returns plain nested dicts of numpy arrays ready for
+`flax.core.freeze({"params": ...})` / direct `model.apply({"params": ...})`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from ..models.unet_vc2 import UNetConfig
+
+
+Array = np.ndarray
+StateDict = Mapping[str, "np.ndarray"]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    """torch.load a checkpoint to numpy (CPU, no grad state)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def split_vc2_checkpoint(sd: StateDict):
+    """Split a full VideoCrafter2 LatentDiffusion state dict into
+    (unet_sd, vae_sd, clip_sd) with prefixes stripped."""
+    unet, vae, clip = {}, {}, {}
+    for k, v in sd.items():
+        if k.startswith("model.diffusion_model."):
+            unet[k[len("model.diffusion_model.") :]] = v
+        elif k.startswith("first_stage_model."):
+            vae[k[len("first_stage_model.") :]] = v
+        elif k.startswith("cond_stage_model.model."):
+            clip[k[len("cond_stage_model.model.") :]] = v
+    return unet, vae, clip
+
+
+# --------------------------------------------------------------------------
+# primitive converters
+# --------------------------------------------------------------------------
+
+
+def _lin(sd, prefix, bias=True):
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _conv2d(sd, prefix):
+    w = sd[f"{prefix}.weight"]  # (O, I, H, W)
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _conv1x1_as_dense(sd, prefix):
+    w = sd[f"{prefix}.weight"]  # (O, I, 1, 1) or (O, I, 1) or (O, I)
+    w = w.reshape(w.shape[0], w.shape[1])
+    out = {"kernel": np.ascontiguousarray(w.T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _conv_temporal(sd, prefix):
+    w = sd[f"{prefix}.weight"]  # (O, I, 3, 1, 1)
+    o, i, kt = w.shape[0], w.shape[1], w.shape[2]
+    out = {
+        "kernel": np.ascontiguousarray(
+            w.reshape(o, i, kt).transpose(2, 1, 0).reshape(kt, 1, i, o)
+        )
+    }
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _norm(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+# --------------------------------------------------------------------------
+# UNet
+# --------------------------------------------------------------------------
+
+
+def _attn(sd, p):
+    return {
+        "to_q": _lin(sd, f"{p}.to_q", bias=False),
+        "to_k": _lin(sd, f"{p}.to_k", bias=False),
+        "to_v": _lin(sd, f"{p}.to_v", bias=False),
+        "to_out": _lin(sd, f"{p}.to_out.0"),
+    }
+
+
+def _btb(sd, p):
+    """BasicTransformerBlock."""
+    out = {
+        "attn1": _attn(sd, f"{p}.attn1"),
+        "attn2": _attn(sd, f"{p}.attn2"),
+        "norm1": _norm(sd, f"{p}.norm1"),
+        "norm2": _norm(sd, f"{p}.norm2"),
+        "norm3": _norm(sd, f"{p}.norm3"),
+        "ff": {
+            "proj": _lin(sd, f"{p}.ff.net.0.proj"),
+            "out": _lin(sd, f"{p}.ff.net.2"),
+        },
+    }
+    for attn_name in ("attn1", "attn2"):
+        for rp in ("relative_position_k", "relative_position_v"):
+            key = f"{p}.{attn_name}.{rp}.embeddings_table"
+            if key in sd:
+                out[attn_name][rp] = {"embeddings_table": sd[key]}
+    return out
+
+
+def _transformer(sd, p, depth=1):
+    """Spatial/Temporal transformer. proj layers may be Linear (use_linear),
+    Conv2d 1x1 (spatial conv mode) or Conv1d 1 (temporal conv mode) — all
+    become Dense."""
+    w = sd[f"{p}.proj_in.weight"]
+    proj_in = _lin(sd, f"{p}.proj_in") if w.ndim == 2 else _conv1x1_as_dense(sd, f"{p}.proj_in")
+    w = sd[f"{p}.proj_out.weight"]
+    proj_out = _lin(sd, f"{p}.proj_out") if w.ndim == 2 else _conv1x1_as_dense(sd, f"{p}.proj_out")
+    out = {
+        "norm": _norm(sd, f"{p}.norm"),
+        "proj_in": proj_in,
+        "proj_out": proj_out,
+    }
+    for d in range(depth):
+        out[f"blocks_{d}"] = _btb(sd, f"{p}.transformer_blocks.{d}")
+    return out
+
+
+def _temporal_conv_block(sd, p):
+    out = {}
+    for i in range(1, 5):
+        # torch Sequential: conv1 = [GN, SiLU, Conv3d]; conv2..4 = [GN, SiLU, Dropout, Conv3d]
+        conv_idx = 2 if i == 1 else 3
+        out[f"norm{i}"] = _norm(sd, f"{p}.conv{i}.0")
+        out[f"conv{i}"] = _conv_temporal(sd, f"{p}.conv{i}.{conv_idx}")
+    return out
+
+
+def _resblock(sd, p):
+    out = {
+        "in_norm": _norm(sd, f"{p}.in_layers.0"),
+        "in_conv": _conv2d(sd, f"{p}.in_layers.2"),
+        "emb_proj": _lin(sd, f"{p}.emb_layers.1"),
+        "out_norm": _norm(sd, f"{p}.out_layers.0"),
+        "out_conv": _conv2d(sd, f"{p}.out_layers.3"),
+    }
+    if f"{p}.skip_connection.weight" in sd:
+        w = sd[f"{p}.skip_connection.weight"]
+        out["skip_connection"] = (
+            _conv2d(sd, f"{p}.skip_connection")
+            if w.shape[-1] > 1
+            else {"kernel": np.ascontiguousarray(
+                w.reshape(w.shape[0], w.shape[1]).T[None, None]
+            ), "bias": sd[f"{p}.skip_connection.bias"]}
+        )
+    # reference misspells the attribute: "temopral_conv" (openaimodel3d.py:196)
+    if f"{p}.temopral_conv.conv1.0.weight" in sd:
+        out["temporal_conv"] = _temporal_conv_block(sd, f"{p}.temopral_conv")
+    return out
+
+
+def import_unet_params(sd: StateDict, cfg: UNetConfig) -> Dict:
+    """Map a torch UNetModel state dict (reference openaimodel3d.py:312-740)
+    to the flax UNetModel parameter tree."""
+    p: Dict = {}
+    p["conv_in"] = _conv2d(sd, "input_blocks.0.0")
+    p["time_embed_0"] = _lin(sd, "time_embed.0")
+    p["time_embed_2"] = _lin(sd, "time_embed.2")
+    if cfg.fps_cond:
+        p["fps_embedding_0"] = _lin(sd, "fps_embedding.0")
+        p["fps_embedding_2"] = _lin(sd, "fps_embedding.2")
+    if cfg.time_cond_proj_dim is not None and "time_cond_proj.weight" in sd:
+        p["time_cond_proj"] = _lin(sd, "time_cond_proj", bias=False)
+    if cfg.motion_cond_proj_dim is not None and "motion_cond_proj.weight" in sd:
+        p["motion_cond_proj"] = _lin(sd, "motion_cond_proj", bias=False)
+        p["combine_proj"] = _lin(sd, "combine_proj", bias=False)
+    if cfg.addition_attention:
+        p["init_attn"] = _transformer(sd, "init_attn.0", cfg.transformer_depth)
+
+    # walk encoder structure exactly as both builders do
+    ds, ch = 1, cfg.model_channels
+    ti = 1  # torch input block index (0 is conv_in)
+    mi = 0  # my input_blocks index
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            j = 0
+            p[f"input_blocks_{mi}_{j}"] = _resblock(sd, f"input_blocks.{ti}.{j}")
+            ch = mult * cfg.model_channels
+            if ds in cfg.attention_resolutions:
+                j += 1
+                p[f"input_blocks_{mi}_{j}"] = _transformer(
+                    sd, f"input_blocks.{ti}.{j}", cfg.transformer_depth
+                )
+                if cfg.temporal_attention:
+                    j += 1
+                    p[f"input_blocks_{mi}_{j}"] = _transformer(
+                        sd, f"input_blocks.{ti}.{j}", cfg.temporal_transformer_depth
+                    )
+            ti += 1
+            mi += 1
+        if level != len(cfg.channel_mult) - 1:
+            p[f"input_blocks_{mi}_0"] = {"op": _conv2d(sd, f"input_blocks.{ti}.0.op")}
+            ti += 1
+            mi += 1
+            ds *= 2
+
+    # middle
+    p["middle_block_0"] = _resblock(sd, "middle_block.0")
+    p["middle_block_1"] = _transformer(sd, "middle_block.1", cfg.transformer_depth)
+    j = 2
+    if cfg.temporal_attention:
+        p["middle_block_2"] = _transformer(
+            sd, "middle_block.2", cfg.temporal_transformer_depth
+        )
+        j = 3
+    p[f"middle_block_{j}"] = _resblock(sd, f"middle_block.{j}")
+
+    # decoder
+    oi = 0
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            j = 0
+            p[f"output_blocks_{oi}_{j}"] = _resblock(sd, f"output_blocks.{oi}.{j}")
+            if ds in cfg.attention_resolutions:
+                j += 1
+                p[f"output_blocks_{oi}_{j}"] = _transformer(
+                    sd, f"output_blocks.{oi}.{j}", cfg.transformer_depth
+                )
+                if cfg.temporal_attention:
+                    j += 1
+                    p[f"output_blocks_{oi}_{j}"] = _transformer(
+                        sd, f"output_blocks.{oi}.{j}", cfg.temporal_transformer_depth
+                    )
+            if level and i == cfg.num_res_blocks:
+                j += 1
+                p[f"output_blocks_{oi}_{j}"] = {
+                    "conv": _conv2d(sd, f"output_blocks.{oi}.{j}.conv")
+                }
+                ds //= 2
+            oi += 1
+
+    p["out_norm"] = _norm(sd, "out.0")
+    p["out_conv"] = _conv2d(sd, "out.2")
+    return p
+
+
+# --------------------------------------------------------------------------
+# VAE
+# --------------------------------------------------------------------------
+
+
+def _ae_resblock(sd, p):
+    out = {
+        "norm1": _norm(sd, f"{p}.norm1"),
+        "conv1": _conv2d(sd, f"{p}.conv1"),
+        "norm2": _norm(sd, f"{p}.norm2"),
+        "conv2": _conv2d(sd, f"{p}.conv2"),
+    }
+    if f"{p}.nin_shortcut.weight" in sd:
+        out["nin_shortcut"] = _conv2d(sd, f"{p}.nin_shortcut")
+    return out
+
+
+def _ae_attn(sd, p):
+    return {
+        "norm": _norm(sd, f"{p}.norm"),
+        "q": _conv1x1_as_dense(sd, f"{p}.q"),
+        "k": _conv1x1_as_dense(sd, f"{p}.k"),
+        "v": _conv1x1_as_dense(sd, f"{p}.v"),
+        "proj_out": _conv1x1_as_dense(sd, f"{p}.proj_out"),
+    }
+
+
+def import_vae_params(sd: StateDict, n_levels: int = 4, n_res: int = 2) -> Dict:
+    """Map a torch AutoencoderKL state dict (reference ae_modules.py:381-643)
+    to the flax AutoencoderKL parameter tree."""
+    enc: Dict = {"conv_in": _conv2d(sd, "encoder.conv_in")}
+    for l in range(n_levels):
+        for i in range(n_res):
+            enc[f"down_{l}_block_{i}"] = _ae_resblock(sd, f"encoder.down.{l}.block.{i}")
+        if l != n_levels - 1:
+            enc[f"down_{l}_downsample"] = _conv2d(sd, f"encoder.down.{l}.downsample.conv")
+    enc["mid_block_1"] = _ae_resblock(sd, "encoder.mid.block_1")
+    enc["mid_attn_1"] = _ae_attn(sd, "encoder.mid.attn_1")
+    enc["mid_block_2"] = _ae_resblock(sd, "encoder.mid.block_2")
+    enc["norm_out"] = _norm(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv2d(sd, "encoder.conv_out")
+
+    dec: Dict = {"conv_in": _conv2d(sd, "decoder.conv_in")}
+    dec["mid_block_1"] = _ae_resblock(sd, "decoder.mid.block_1")
+    dec["mid_attn_1"] = _ae_attn(sd, "decoder.mid.attn_1")
+    dec["mid_block_2"] = _ae_resblock(sd, "decoder.mid.block_2")
+    for l in range(n_levels):
+        for i in range(n_res + 1):
+            dec[f"up_{l}_block_{i}"] = _ae_resblock(sd, f"decoder.up.{l}.block.{i}")
+        if l != 0:
+            dec[f"up_{l}_upsample"] = _conv2d(sd, f"decoder.up.{l}.upsample.conv")
+    dec["norm_out"] = _norm(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv2d(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv1x1_as_dense(sd, "quant_conv"),
+        "post_quant_conv": _conv1x1_as_dense(sd, "post_quant_conv"),
+    }
+
+
+# --------------------------------------------------------------------------
+# OpenCLIP text tower
+# --------------------------------------------------------------------------
+
+
+def import_clip_text_params(sd: StateDict, layers: int = 24, penultimate: bool = True) -> Dict:
+    """Map an open_clip text-tower state dict (keys like
+    transformer.resblocks.{i}.attn.in_proj_weight) to CLIPTextModel params.
+    The final block is dropped in penultimate mode (reference
+    condition.py:273-283 never runs it)."""
+    p: Dict = {
+        "token_embedding": sd["token_embedding.weight"],
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": _norm(sd, "ln_final"),
+    }
+    n_run = layers - 1 if penultimate else layers
+    for i in range(n_run):
+        rp = f"transformer.resblocks.{i}"
+        p[f"resblocks_{i}"] = {
+            "ln_1": _norm(sd, f"{rp}.ln_1"),
+            "ln_2": _norm(sd, f"{rp}.ln_2"),
+            "in_proj": {
+                "kernel": np.ascontiguousarray(sd[f"{rp}.attn.in_proj_weight"].T),
+                "bias": sd[f"{rp}.attn.in_proj_bias"],
+            },
+            "out_proj": _lin(sd, f"{rp}.attn.out_proj"),
+            "c_fc": _lin(sd, f"{rp}.mlp.c_fc"),
+            "c_proj": _lin(sd, f"{rp}.mlp.c_proj"),
+        }
+    return p

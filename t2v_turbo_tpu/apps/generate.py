@@ -1,0 +1,162 @@
+"""CLI: prompt -> video (predict.py / app.py parity surface).
+
+Usage:
+  python -m t2v_turbo_tpu.apps.generate \
+      --prompt "An astronaut riding a horse" \
+      --checkpoint /path/to/VideoCrafter2+lora-collapsed.ckpt \
+      --unet-ckpt /path/to/unet.pt \
+      --steps 4 --frames 16 --fps 16 --seed 123 --output out.mp4
+
+Without --checkpoint, --random-weights must be passed explicitly (smoke /
+benchmark mode). Cf. reference predict.py:30-139, app.py:201-392.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="T2V-Turbo TPU text-to-video")
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--config", default="configs/vc2_t2v_512.yaml")
+    p.add_argument("--checkpoint", default=None, help="VideoCrafter2 model.ckpt")
+    p.add_argument("--unet-ckpt", default=None, help="LCM student unet.pt (v2) or collapsed-LoRA weights")
+    p.add_argument("--random-weights", action="store_true",
+                   help="run with random weights (smoke mode, no checkpoint)")
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--lcm-origin-steps", type=int, default=50)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--fps", type=int, default=16)
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--guidance-scale", type=float, default=7.5)
+    p.add_argument("--motion-gs", type=float, default=0.05)
+    p.add_argument("--use-motion-cond", action="store_true")
+    p.add_argument("--percentage", type=float, default=0.3)
+    p.add_argument("--num-videos", type=int, default=1)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--output", default="output.mp4")
+    p.add_argument("--save-fps", type=int, default=8)
+    return p.parse_args(argv)
+
+
+def build_pipeline(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import load_vc2_config
+    from ..models.clip_text import CLIPTextModel
+    from ..models.unet_vc2 import UNetModel
+    from ..models.vae import AutoencoderKL
+    from ..pipelines.vc2 import T2VTurboVC2Pipeline
+    from ..utils.tokenizer import CLIPTokenizer
+
+    spec = load_vc2_config(args.config, time_cond_proj_dim=256)
+    dtype = jnp.bfloat16
+    unet = UNetModel(cfg=spec.unet, dtype=dtype)
+    vae = AutoencoderKL(cfg=spec.vae, dtype=dtype)
+    text_model = CLIPTextModel(dtype=dtype)
+    tokenizer = CLIPTokenizer()
+
+    if args.checkpoint:
+        from ..io.torch_import import (
+            import_clip_text_params,
+            import_unet_params,
+            import_vae_params,
+            load_torch_state_dict,
+            split_vc2_checkpoint,
+        )
+
+        sd = load_torch_state_dict(args.checkpoint)
+        unet_sd, vae_sd, clip_sd = split_vc2_checkpoint(sd)
+        if args.unet_ckpt:
+            unet_sd = load_torch_state_dict(args.unet_ckpt)
+        unet_params = {"params": import_unet_params(unet_sd, spec.unet)}
+        vae_params = {"params": import_vae_params(vae_sd)}
+        text_params = {"params": import_clip_text_params(clip_sd)}
+    elif args.random_weights:
+        import jax.random as jr
+
+        b = 1
+        x = jnp.zeros((b, args.frames, args.height // 8, args.width // 8, 4), dtype)
+        unet_params = jax.jit(
+            lambda k: unet.init(
+                k, x, jnp.zeros((b,), jnp.int32), jnp.zeros((b, 77, 1024), dtype),
+                fps=jnp.full((b,), 16.0), timestep_cond=jnp.zeros((b, 256), dtype),
+            )
+        )(jr.PRNGKey(0))
+        vae_params = jax.jit(
+            lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), dtype))
+        )(jr.PRNGKey(1))
+        text_params = jax.jit(
+            lambda k: text_model.init(k, jnp.zeros((1, 77), jnp.int32))
+        )(jr.PRNGKey(2))
+    else:
+        print("error: provide --checkpoint or pass --random-weights", file=sys.stderr)
+        sys.exit(2)
+
+    return T2VTurboVC2Pipeline(
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        text_model=text_model,
+        text_params=text_params,
+        tokenizer=tokenizer,
+        schedule=spec.make_schedule(),
+        scale_factor=spec.scale_factor,
+        dtype=dtype,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from ..io.video import save_video
+    from ..pipelines.vc2 import video_to_uint8
+
+    t0 = time.time()
+    pipe = build_pipeline(args)
+    print(f"pipeline ready in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    video = pipe(
+        prompt=args.prompt,
+        height=args.height,
+        width=args.width,
+        frames=args.frames,
+        fps=args.fps,
+        guidance_scale=args.guidance_scale,
+        motion_gs=args.motion_gs,
+        use_motion_cond=args.use_motion_cond,
+        percentage=args.percentage,
+        num_videos_per_prompt=args.num_videos,
+        num_inference_steps=args.steps,
+        lcm_origin_steps=args.lcm_origin_steps,
+        key=jax.random.PRNGKey(args.seed),
+    )
+    frames = video_to_uint8(video)
+    print(
+        f"generated {frames.shape} in {time.time()-t0:.1f}s (incl. compile)",
+        file=sys.stderr,
+    )
+    for i in range(frames.shape[0]):
+        out = args.output if frames.shape[0] == 1 else (
+            f"{args.output.rsplit('.', 1)[0]}_{i}.{args.output.rsplit('.', 1)[1]}"
+        )
+        written = save_video(frames[i], out, fps=args.save_fps)
+        print(written)
+
+
+if __name__ == "__main__":
+    main()

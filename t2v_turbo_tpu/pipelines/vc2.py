@@ -1,0 +1,214 @@
+"""T2V-Turbo (VideoCrafter2) prompt→video pipeline, TPU-native.
+
+Equivalent of the reference T2VTurboVC2Pipeline
+(pipeline/t2v_turbo_vc2_pipeline.py:14-220), redesigned for XLA: the whole
+LCM multistep loop — UNet forward, boundary-condition combine, renoise — is
+ONE jitted `lax.scan` over timesteps (SURVEY.md §3.1's north star), VAE
+decode is a second jit, and RNG is explicit key threading. Jitted programs
+are cached per static shape bucket (frames, H, W, steps), so repeated calls
+at the same operating point pay zero retrace cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import (
+    DiffusionSchedule,
+    LCMScheduler,
+    guidance_scale_embedding,
+)
+from ..models.clip_text import CLIPTextModel
+from ..models.unet_vc2 import UNetModel
+from ..models.vae import AutoencoderKL
+
+
+@dataclasses.dataclass
+class T2VTurboVC2Pipeline:
+    """Bundles models + params + tokenizer + schedule.
+
+    All heavy entry points are jit-cached methods; the object itself holds no
+    device state beyond the param pytrees.
+    """
+
+    unet: UNetModel
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    text_model: CLIPTextModel
+    text_params: Any
+    tokenizer: Any
+    schedule: DiffusionSchedule
+    scale_factor: float = 0.18215
+    vae_scale: int = 8
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        self.scheduler = LCMScheduler(schedule=self.schedule)
+        self._encode_jit = jax.jit(
+            lambda p, toks: self.text_model.apply(p, toks)
+        )
+        self._decode_jit = jax.jit(
+            lambda p, z: self.vae.apply(
+                p, z / self.scale_factor, method=self.vae.decode
+            )
+        )
+        self._sample_jit_cache = {}
+
+    # ------------------------------------------------------------------
+    def encode_prompt(self, prompt: str | Sequence[str]) -> jax.Array:
+        """prompt(s) -> (B, 77, 1024) cross-attention context
+        (reference pipeline:34-68 + condition.py:257-283)."""
+        tokens = self.tokenizer(prompt)
+        return self._encode_jit(self.text_params, jnp.asarray(tokens))
+
+    # ------------------------------------------------------------------
+    def _sample_fn(self, num_steps: int, lcm_origin_steps: int, use_motion_cond: bool, percentage: float):
+        """Build (and cache) the jitted scan sampling program for a static
+        step count."""
+        cache_key = (num_steps, lcm_origin_steps, use_motion_cond, percentage)
+        if cache_key in self._sample_jit_cache:
+            return self._sample_jit_cache[cache_key]
+
+        ts_np = self.scheduler.timesteps(num_steps, lcm_origin_steps)
+        ts = jnp.asarray(ts_np, dtype=jnp.int32)
+        prev_ts = jnp.concatenate([ts[1:], ts[-1:]])
+        multistep = num_steps > 1
+        # motion-cond time threshold (reference pipeline:190,197-204)
+        thresh = self.schedule.num_timesteps * (1.0 - percentage)
+
+        def sample(unet_params, latents, ctx, w_emb, fps, motion_gs, key):
+            def body(carry, step_inputs):
+                lat, key = carry
+                t, pt = step_inputs
+                tb = jnp.broadcast_to(t, (lat.shape[0],))
+                motion_cond = None
+                if use_motion_cond:
+                    gs = jnp.where(t < thresh, 0.0, motion_gs)
+                    motion_cond = guidance_scale_embedding(
+                        jnp.broadcast_to(gs, (lat.shape[0],)), 256
+                    ).astype(self.dtype)
+                eps = self.unet.apply(
+                    unet_params,
+                    lat,
+                    tb,
+                    ctx,
+                    fps=fps,
+                    timestep_cond=w_emb,
+                    motion_cond=motion_cond,
+                )
+                key, sub = jax.random.split(key)
+                noise = (
+                    jax.random.normal(sub, lat.shape, lat.dtype)
+                    if multistep
+                    else None
+                )
+                lat_next, denoised = self.scheduler.step(
+                    eps.astype(jnp.float32),
+                    t,
+                    pt,
+                    lat.astype(jnp.float32),
+                    noise,
+                )
+                return (lat_next.astype(lat.dtype), key), denoised
+
+            (_, _), denoised_seq = jax.lax.scan(
+                body, (latents, key), (ts, prev_ts)
+            )
+            return denoised_seq[-1]
+
+        fn = jax.jit(sample)
+        self._sample_jit_cache[cache_key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        prompt: str | Sequence[str] | None = None,
+        height: int = 320,
+        width: int = 512,
+        frames: int = 16,
+        fps: int = 16,
+        guidance_scale: float = 7.5,
+        motion_gs: float = 0.1,
+        use_motion_cond: bool = False,
+        percentage: float = 0.3,
+        num_videos_per_prompt: int = 1,
+        num_inference_steps: int = 4,
+        lcm_origin_steps: int = 50,
+        key: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        output_type: str = "video",
+        decode_frame_chunk: Optional[int] = None,
+    ):
+        """prompt -> video (B, T, H, W, 3) in [-1, 1] (or latents).
+
+        Mirrors reference pipeline __call__:122-220: encode prompt, N(0,1)
+        latents, w-embedding, LCM loop, per-frame VAE decode.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if prompt_embeds is None:
+            assert prompt is not None
+            prompt_embeds = self.encode_prompt(prompt)
+        if num_videos_per_prompt != 1:
+            prompt_embeds = jnp.repeat(prompt_embeds, num_videos_per_prompt, 0)
+        bs = prompt_embeds.shape[0]
+
+        key, lat_key, sample_key = jax.random.split(key, 3)
+        if latents is None:
+            latents = jax.random.normal(
+                lat_key,
+                (
+                    bs,
+                    frames,
+                    height // self.vae_scale,
+                    width // self.vae_scale,
+                    self.unet.cfg.in_channels,
+                ),
+                self.dtype,
+            )
+        latents = latents * self.scheduler.init_noise_sigma
+
+        w = jnp.full((bs,), guidance_scale, jnp.float32)
+        w_emb = guidance_scale_embedding(w, 256).astype(self.dtype)
+        fps_arr = jnp.full((bs,), float(fps))
+
+        sample = self._sample_fn(
+            num_inference_steps, lcm_origin_steps, use_motion_cond, percentage
+        )
+        denoised = sample(
+            self.unet_params,
+            latents,
+            prompt_embeds.astype(self.dtype),
+            w_emb,
+            fps_arr,
+            jnp.float32(motion_gs),
+            sample_key,
+        )
+
+        if output_type == "latent":
+            return denoised
+
+        b, t, hh, ww, c = denoised.shape
+        frames_flat = denoised.reshape(b * t, hh, ww, c).astype(self.dtype)
+        chunk = decode_frame_chunk or b * t
+        outs = [
+            self._decode_jit(self.vae_params, frames_flat[i : i + chunk])
+            for i in range(0, b * t, chunk)
+        ]
+        video = jnp.concatenate(outs, axis=0)
+        return video.reshape(b, t, *video.shape[1:])
+
+
+def video_to_uint8(video: jax.Array) -> np.ndarray:
+    """[-1,1] float video -> uint8, host-side (reference app.py:97-99)."""
+    v = np.asarray(jnp.clip((video.astype(jnp.float32) + 1.0) / 2.0, 0, 1))
+    return (v * 255).round().astype(np.uint8)

@@ -42,6 +42,7 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--output", default="output.mp4")
     p.add_argument("--save-fps", type=int, default=8)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args(argv)
 
 
@@ -117,6 +118,9 @@ def build_pipeline(args):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from ..utils.cache import enable_persistent_cache
 

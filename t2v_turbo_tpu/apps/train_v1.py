@@ -1,0 +1,270 @@
+"""CLI: v1 LoRA consistency distillation (train_t2v_turbo_v1_lora parity).
+
+Usage (with checkpoints):
+  python -m t2v_turbo_tpu.apps.train_v1 \
+      --checkpoint VideoCrafter2_model.ckpt --data-shards 'shards/*.tar' \
+      --output-dir runs/v1 --max-steps 10000
+
+Smoke mode (no checkpoint, synthetic data):
+  python -m t2v_turbo_tpu.apps.train_v1 --random-weights --synthetic-data \
+      --tiny-model --max-steps 3 --output-dir /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="T2V-Turbo v1 LoRA LCD trainer")
+    p.add_argument("--config", default="configs/vc2_t2v_512.yaml")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--tiny-model", action="store_true",
+                   help="small UNet (CI / smoke)")
+    p.add_argument("--data-shards", default=None, help="glob of webdataset tars")
+    p.add_argument("--data-csv", default=None, help="CSV of mp4 paths+captions")
+    p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--output-dir", default="runs/v1")
+    p.add_argument("--max-steps", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=1, help="per host")
+    p.add_argument("--n-frames", type=int, default=16)
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--fps", type=int, default=16)
+    p.add_argument("--learning-rate", type=float, default=1e-5)
+    p.add_argument("--optimizer", default="adamw8bit",
+                   choices=["adamw", "adamw_bf16", "adamw8bit"])
+    p.add_argument("--lora-rank", type=int, default=64)
+    p.add_argument("--w-min", type=float, default=5.0)
+    p.add_argument("--w-max", type=float, default=15.0)
+    p.add_argument("--num-ddim-timesteps", type=int, default=50)
+    p.add_argument("--loss-type", default="huber", choices=["huber", "l2"])
+    p.add_argument("--huber-c", type=float, default=0.001)
+    p.add_argument("--checkpointing-steps", type=int, default=2000)
+    p.add_argument("--checkpoints-total-limit", type=int, default=3)
+    p.add_argument("--max-grad-norm", type=float, default=10.0)
+    p.add_argument("--seed", type=int, default=453645634)
+    p.add_argument("--seq-shards", type=int, default=1,
+                   help="mesh seq axis size (temporal sharding)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from ..diffusion import DDIMSolver
+    from ..models.unet_vc2 import UNetConfig, UNetModel
+    from ..parallel.mesh import make_mesh
+    from ..training.lcd import LCDConfig
+    from ..training.optim import make_optimizer
+    from ..training.trainer import LCDTrainer, TrainerConfig
+
+    if args.tiny_model:
+        ucfg = UNetConfig(
+            model_channels=32, num_res_blocks=1, attention_resolutions=(2, 1),
+            channel_mult=(1, 2), num_head_channels=16, context_dim=16,
+            temporal_length=4, time_cond_proj_dim=8,
+        )
+        ctx_dim, lat_hw, frames, wdim = 16, (8, 8), 4, 8
+        from ..config import VC2ModelSpec  # noqa: F401  (not needed for tiny)
+        spec = None
+    else:
+        from ..config import load_vc2_config
+
+        spec = load_vc2_config(args.config, time_cond_proj_dim=256)
+        ucfg = spec.unet
+        ctx_dim = ucfg.context_dim
+        lat_hw = (args.height // 8, args.width // 8)
+        frames, wdim = args.n_frames, 256
+
+    student = UNetModel(cfg=ucfg, dtype=jnp.bfloat16 if not args.tiny_model else jnp.float32)
+    tcfg = UNetConfig(**{**ucfg.__dict__, "time_cond_proj_dim": None})
+    teacher = UNetModel(cfg=tcfg, dtype=student.dtype)
+
+    b = args.batch_size if not args.tiny_model else 4
+    frames_eff = frames
+    x = jnp.zeros((1, frames_eff, *lat_hw, ucfg.in_channels))
+    ctx0 = jnp.zeros((1, 7 if args.tiny_model else 77, ctx_dim))
+    ts0 = jnp.zeros((1,), jnp.int32)
+
+    if args.checkpoint:
+        from ..io.torch_import import (
+            import_unet_params,
+            load_torch_state_dict,
+            split_vc2_checkpoint,
+        )
+
+        sd = load_torch_state_dict(args.checkpoint)
+        unet_sd, _, _ = split_vc2_checkpoint(sd)
+        teacher_params = {"params": import_unet_params(unet_sd, tcfg)}
+        # student = teacher weights + fresh (zero) time_cond_proj
+        sp = dict(import_unet_params(unet_sd, ucfg))
+        sp["time_cond_proj"] = {
+            "kernel": np.zeros((ucfg.time_cond_proj_dim, ucfg.model_channels), np.float32)
+        }
+        student_params = {"params": sp}
+    elif args.random_weights:
+        student_params = student.init(
+            jax.random.PRNGKey(0), x, ts0, ctx0,
+            timestep_cond=jnp.zeros((1, wdim)),
+        )
+        teacher_params = teacher.init(jax.random.PRNGKey(1), x, ts0, ctx0)
+    else:
+        print("error: provide --checkpoint or --random-weights", file=sys.stderr)
+        sys.exit(2)
+
+    from ..diffusion import DiffusionSchedule
+
+    sched = DiffusionSchedule.create()
+    solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod),
+                               ddim_timesteps=args.num_ddim_timesteps)
+    mesh = make_mesh(seq=args.seq_shards)
+
+    trainer = LCDTrainer(
+        student_apply=lambda p, z, t, c, fps=None, timestep_cond=None: student.apply(
+            p, z, t, c, fps=fps, timestep_cond=timestep_cond
+        ),
+        teacher_apply=lambda p, z, t, c, fps=None: teacher.apply(p, z, t, c, fps=fps),
+        teacher_params=teacher_params,
+        student_params=student_params,
+        sched=sched,
+        solver=solver,
+        lcd_cfg=LCDConfig(
+            num_ddim_timesteps=args.num_ddim_timesteps,
+            w_min=args.w_min,
+            w_max=args.w_max,
+            w_embedding_dim=wdim,
+            loss_type=args.loss_type,
+            huber_c=args.huber_c,
+        ),
+        optimizer=make_optimizer(args.optimizer, args.learning_rate),
+        cfg=TrainerConfig(
+            output_dir=args.output_dir,
+            max_steps=args.max_steps,
+            checkpoint_every=args.checkpointing_steps,
+            keep_checkpoints=args.checkpoints_total_limit,
+            lora_rank=args.lora_rank if args.lora_rank > 0 else None,
+            max_grad_norm=args.max_grad_norm,
+            seed=args.seed,
+            log_every=1,
+        ),
+        mesh=mesh,
+    )
+
+    data = make_data_iter(args, ctx_dim, lat_hw, frames_eff, b, spec)
+    metrics = trainer.run(data)
+    print(f"final metrics: {metrics}")
+    # export inference-ready merged weights
+    from ..lora import save_lora_npz
+
+    if trainer.cfg.lora_rank:
+        save_lora_npz(f"{args.output_dir}/unet_lora.npz", trainer.state["trainable"])
+        print(f"{args.output_dir}/unet_lora.npz")
+
+
+def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
+    """Batches of {latents, ctx, uncond_ctx, fps}. Real path: webdataset /
+    CSV video -> VAE encode + text encode per step; synthetic: random."""
+    if args.synthetic_data:
+        rng = np.random.RandomState(0)
+
+        def it():
+            while True:
+                yield {
+                    "latents": rng.randn(b, frames, *lat_hw, 4).astype(np.float32),
+                    "ctx": rng.randn(b, 7 if args.tiny_model else 77, ctx_dim).astype(np.float32),
+                    "uncond_ctx": np.zeros((b, 7 if args.tiny_model else 77, ctx_dim), np.float32),
+                    "fps": np.full((b,), float(args.fps), np.float32),
+                }
+
+        return it()
+
+    # real data: encode videos + prompts on the fly
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip_text import CLIPTextModel
+    from ..models.vae import AutoencoderKL
+    from ..utils.tokenizer import CLIPTokenizer
+
+    assert spec is not None and args.checkpoint, "real data requires --checkpoint"
+    from ..io.torch_import import (
+        import_clip_text_params,
+        import_vae_params,
+        load_torch_state_dict,
+        split_vc2_checkpoint,
+    )
+
+    sd = load_torch_state_dict(args.checkpoint)
+    _, vae_sd, clip_sd = split_vc2_checkpoint(sd)
+    vae = AutoencoderKL(cfg=spec.vae, dtype=jnp.bfloat16)
+    text = CLIPTextModel(dtype=jnp.bfloat16)
+    vae_params = {"params": import_vae_params(vae_sd)}
+    text_params = {"params": import_clip_text_params(clip_sd)}
+    tok = CLIPTokenizer()
+
+    encode = jax.jit(
+        lambda v: vae.apply(vae_params, v, method=vae.encode)[0] * spec.scale_factor
+    )
+    embed = jax.jit(lambda t: text.apply(text_params, t))
+    uncond = np.asarray(embed(jnp.asarray(tok([""]))))
+
+    if args.data_shards:
+        from ..data.webdata import WebVideoDataset
+
+        ds = WebVideoDataset(
+            sorted(glob.glob(args.data_shards)),
+            batch_size=b,
+            n_frames=frames,
+            size_hw=(args.height, args.width),
+        )
+        raw_iter = iter(ds)
+    elif args.data_csv:
+        from ..data.datasets import MP4Dataset, read_csv_index
+
+        ds = MP4Dataset(
+            read_csv_index(args.data_csv),
+            n_frames=frames,
+            size_hw=(args.height, args.width),
+        )
+        raw_iter = ds.batches(b)
+        raw_iter = ({"video": d["video"], "txt": d["text"]} for d in raw_iter)
+    else:
+        raise SystemExit("provide --data-shards/--data-csv/--synthetic-data")
+
+    def it():
+        import jax.numpy as jnp
+
+        for batch in raw_iter:
+            video = jnp.asarray(batch["video"])  # (B,T,H,W,3) in [-1,1]
+            bb, tt = video.shape[:2]
+            z = encode(video.reshape(bb * tt, *video.shape[2:]))
+            z = np.asarray(z).reshape(bb, tt, *z.shape[1:])
+            ctx = np.asarray(embed(jnp.asarray(tok(batch["txt"]))))
+            yield {
+                "latents": z,
+                "ctx": ctx,
+                "uncond_ctx": np.repeat(uncond, bb, 0),
+                "fps": np.full((bb,), float(args.fps), np.float32),
+            }
+
+    return it()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""ctypes bindings for the native videoio library (decode/encode/probe).
+
+The C++ library (native/videoio) replaces the reference's decord decoder
+(data/dataloader/video_decode.py) and torchvision mp4 writer. Decoding
+releases the GIL inside libav, so a plain ThreadPoolExecutor gives true
+parallel decode — see `VideoDecoder.decode_batch`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "videoio",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvideoio.so")
+
+
+class _VioInfo(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int),
+        ("height", ctypes.c_int),
+        ("fps", ctypes.c_double),
+        ("n_frames", ctypes.c_int64),
+        ("duration", ctypes.c_double),
+    ]
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+            )
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError(
+                f"libvideoio.so missing and build failed: {e}"
+            ) from e
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.vio_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_VioInfo)]
+    lib.vio_probe.restype = ctypes.c_int
+    lib.vio_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_int,
+        ctypes.c_uint,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.vio_decode.restype = ctypes.c_int
+    lib.vio_encode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_char_p,
+    ]
+    lib.vio_encode.restype = ctypes.c_int
+    lib.vio_last_error.restype = ctypes.c_char_p
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _err(lib) -> str:
+    return lib.vio_last_error().decode("utf-8", "replace")
+
+
+@dataclass(frozen=True)
+class VideoInfo:
+    width: int
+    height: int
+    fps: float
+    n_frames: int
+    duration: float
+
+
+def probe(path: str) -> VideoInfo:
+    lib = _load()
+    info = _VioInfo()
+    if lib.vio_probe(path.encode(), ctypes.byref(info)) != 0:
+        raise IOError(f"probe({path}): {_err(lib)}")
+    return VideoInfo(info.width, info.height, info.fps, info.n_frames, info.duration)
+
+
+def decode(
+    path: str,
+    n_frames: int = 16,
+    target_fps: float = 0.0,
+    random_offset: bool = False,
+    seed: int = 0,
+    width: int = 0,
+    height: int = 0,
+) -> np.ndarray:
+    """Decode n_frames sampled at target_fps -> (T, H, W, 3) uint8.
+    target_fps<=0 uses native fps; width/height<=0 keep native size.
+    Mirrors the reference VideoDecorder semantics
+    (data/dataloader/video_decode.py:41-186)."""
+    lib = _load()
+    if width <= 0 or height <= 0:
+        info = probe(path)
+        width = width if width > 0 else info.width
+        height = height if height > 0 else info.height
+    out = np.empty((n_frames, height, width, 3), np.uint8)
+    got = lib.vio_decode(
+        path.encode(),
+        n_frames,
+        float(target_fps),
+        1 if random_offset else 0,
+        seed,
+        width,
+        height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if got < 0:
+        raise IOError(f"decode({path}): {_err(lib)}")
+    return out
+
+
+def encode(path: str, frames: np.ndarray, fps: float = 8.0, codec: str = "") -> None:
+    """frames: (T, H, W, 3) uint8 -> mp4 (libx264 if present, else mpeg4)."""
+    lib = _load()
+    frames = np.ascontiguousarray(frames, np.uint8)
+    t, h, w, c = frames.shape
+    assert c == 3
+    rc = lib.vio_encode(
+        path.encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t,
+        h,
+        w,
+        float(fps),
+        codec.encode(),
+    )
+    if rc != 0:
+        raise IOError(f"encode({path}): {_err(lib)}")
+
+
+class VideoDecoder:
+    """Threaded batch decoder (GIL released in libav)."""
+
+    def __init__(self, n_frames=16, target_fps=8.0, width=0, height=0, workers=8):
+        self.n_frames = n_frames
+        self.target_fps = target_fps
+        self.width = width
+        self.height = height
+        self.pool = ThreadPoolExecutor(max_workers=workers)
+
+    def decode_batch(
+        self, paths: Sequence[str], random_offset=True, seed: int = 0
+    ) -> list[Optional[np.ndarray]]:
+        futs = [
+            self.pool.submit(
+                decode,
+                p,
+                self.n_frames,
+                self.target_fps,
+                random_offset,
+                seed + i,
+                self.width,
+                self.height,
+            )
+            for i, p in enumerate(paths)
+        ]
+        out = []
+        for f in futs:
+            try:
+                out.append(f.result())
+            except Exception:
+                out.append(None)  # warn_and_continue semantics
+        return out

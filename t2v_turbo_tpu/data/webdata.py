@@ -1,0 +1,186 @@
+"""Webdataset-style tar-shard video pipeline with per-host sharding.
+
+Rebuild of the reference's WebVid loader (data/dataset.py:42-151 +
+data/dataloader/custom_wds.py): tar shards -> per-host split keyed on
+jax.process_index() (replacing wds.split_by_node) -> shard shuffle ->
+sample grouping by key -> mp4 decode via the native videoio library ->
+resize/crop -> dict batches. Decode errors warn-and-continue (reference
+data/dataset.py:58).
+
+Pure Python + the native decoder; no webdataset/torchdata dependency.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import random
+import tarfile
+import tempfile
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from . import videoio
+from .transforms import KeyFilter, normalize_video, resize_crop
+
+
+def split_shards_by_host(
+    shards: Sequence[str],
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> List[str]:
+    """Deterministic per-host shard assignment (reference
+    data/dataset.py:101-105 split_by_node)."""
+    if process_index is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    return list(shards)[process_index::process_count]
+
+
+def iterate_tar_samples(path: str) -> Iterator[dict]:
+    """Group tar members by basename key: {key, mp4: bytes, txt: str, json: dict}."""
+    with tarfile.open(path, "r|*") as tf:
+        current_key = None
+        sample = {}
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            key, _, ext = name.rpartition(".")
+            if not key:
+                continue
+            if current_key is not None and key != current_key and sample:
+                yield {"key": current_key, **sample}
+                sample = {}
+            current_key = key
+            data = tf.extractfile(member).read()
+            if ext in ("txt", "text", "caption"):
+                sample["txt"] = data.decode("utf-8", "replace").strip()
+            elif ext == "json":
+                try:
+                    sample["json"] = json.loads(data)
+                except Exception:
+                    sample["json"] = {}
+            elif ext in ("mp4", "webm", "mov", "avi", "mkv"):
+                sample["mp4"] = data
+        if current_key is not None and sample:
+            yield {"key": current_key, **sample}
+
+
+def decode_sample_video(
+    data: bytes,
+    n_frames: int,
+    target_fps: float,
+    size_hw,
+    random_crop: bool,
+    rng: np.random.RandomState,
+) -> Optional[np.ndarray]:
+    """mp4 bytes -> (T, H, W, 3) uint8 or None on failure."""
+    try:
+        with tempfile.NamedTemporaryFile(suffix=".mp4", dir="/dev/shm"
+                                         if os.path.isdir("/dev/shm") else None) as f:
+            f.write(data)
+            f.flush()
+            video = videoio.decode(
+                f.name,
+                n_frames=n_frames,
+                target_fps=target_fps,
+                random_offset=random_crop,
+                seed=int(rng.randint(0, 2**31 - 1)),
+            )
+        return resize_crop(video, size_hw, random_crop=random_crop, rng=rng)
+    except Exception:
+        return None  # warn_and_continue
+
+
+class WebVideoDataset:
+    """Iterable: tar shards -> batches
+    {video: (B,T,H,W,3) float32 [-1,1], txt: [str], json: [dict]}."""
+
+    def __init__(
+        self,
+        shards: Sequence[str],
+        batch_size: int = 1,
+        n_frames: int = 16,
+        target_fps: float = 8.0,
+        size_hw=(320, 512),
+        random_crop: bool = True,
+        shuffle_shards: bool = True,
+        shuffle_buffer: int = 0,
+        filters: Optional[Sequence[Callable[[dict], bool]]] = None,
+        seed: int = 0,
+        split_by_host: bool = True,
+        loop: bool = True,
+        normalize: bool = True,
+    ):
+        self.shards = list(shards)
+        if split_by_host:
+            self.shards = split_shards_by_host(self.shards)
+        self.batch_size = batch_size
+        self.n_frames = n_frames
+        self.target_fps = target_fps
+        self.size_hw = tuple(size_hw)
+        self.random_crop = random_crop
+        self.shuffle_shards = shuffle_shards
+        self.shuffle_buffer = shuffle_buffer
+        self.filters = list(filters or [KeyFilter()])
+        self.seed = seed
+        self.loop = loop
+        self.normalize = normalize
+
+    def _samples(self) -> Iterator[dict]:
+        rng = random.Random(self.seed)
+        epoch = 0
+        while True:
+            shards = list(self.shards)
+            if self.shuffle_shards:
+                rng.shuffle(shards)
+            buf: List[dict] = []
+            for shard in shards:
+                try:
+                    for s in iterate_tar_samples(shard):
+                        if not all(f(s) for f in self.filters):
+                            continue
+                        if self.shuffle_buffer > 1:
+                            buf.append(s)
+                            if len(buf) >= self.shuffle_buffer:
+                                yield buf.pop(rng.randrange(len(buf)))
+                        else:
+                            yield s
+                except Exception:
+                    continue  # unreadable shard: warn_and_continue
+            for s in buf:
+                yield s
+            epoch += 1
+            if not self.loop:
+                return
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.RandomState(self.seed + 1)
+        videos, txts, metas = [], [], []
+        for s in self._samples():
+            video = decode_sample_video(
+                s["mp4"],
+                self.n_frames,
+                self.target_fps,
+                self.size_hw,
+                self.random_crop,
+                rng,
+            )
+            if video is None:
+                continue
+            videos.append(video)
+            txts.append(s.get("txt", ""))
+            metas.append(s.get("json", {}))
+            if len(videos) == self.batch_size:
+                batch = np.stack(videos)
+                yield {
+                    "video": normalize_video(batch) if self.normalize else batch,
+                    "txt": txts,
+                    "json": metas,
+                }
+                videos, txts, metas = [], [], []

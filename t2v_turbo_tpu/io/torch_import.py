@@ -19,7 +19,7 @@ Everything returns plain nested dicts of numpy arrays ready for
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Dict, Mapping, Optional
 
 import numpy as np
 
@@ -362,3 +362,99 @@ def import_clip_text_params(sd: StateDict, layers: int = 24, penultimate: bool =
             "c_proj": _lin(sd, f"{rp}.mlp.c_proj"),
         }
     return p
+
+
+# --------------------------------------------------------------------------
+# Reward towers: open_clip CLIP (HPSv2 / CLIP-H / PickScore-as-openclip) and
+# ViCLIP (reference reward_fn/reward_fn.py, viclip/)
+# --------------------------------------------------------------------------
+
+
+def _vit_block(sd, rp):
+    return {
+        "ln_1": _norm(sd, f"{rp}.ln_1"),
+        "ln_2": _norm(sd, f"{rp}.ln_2"),
+        "in_proj": {
+            "kernel": np.ascontiguousarray(sd[f"{rp}.attn.in_proj_weight"].T),
+            "bias": sd[f"{rp}.attn.in_proj_bias"],
+        },
+        "out_proj": _lin(sd, f"{rp}.attn.out_proj"),
+        "c_fc": _lin(sd, f"{rp}.mlp.c_fc"),
+        "c_proj": _lin(sd, f"{rp}.mlp.c_proj"),
+    }
+
+
+def _count_blocks(sd: StateDict, prefix: str) -> int:
+    n = 0
+    while f"{prefix}.{n}.ln_1.weight" in sd:
+        n += 1
+    return n
+
+
+def import_clip_vision_params(sd: StateDict, prefix: str = "visual.") -> Dict:
+    """open_clip VisionTransformer state dict -> rewards.vit.VisionTransformer
+    params. conv1 (O,I,P,P) has no bias in CLIP."""
+    g = lambda k: sd[prefix + k]
+    w = g("conv1.weight")
+    p: Dict = {
+        "conv1": {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))},
+        "class_embedding": g("class_embedding"),
+        "positional_embedding": g("positional_embedding"),
+        "ln_pre": {"scale": g("ln_pre.weight"), "bias": g("ln_pre.bias")},
+        "ln_post": {"scale": g("ln_post.weight"), "bias": g("ln_post.bias")},
+        "proj": g("proj"),
+    }
+    sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    n = _count_blocks(sub, "transformer.resblocks")
+    for i in range(n):
+        p[f"resblocks_{i}"] = _vit_block(sub, f"transformer.resblocks.{i}")
+    return p
+
+
+def import_clip_text_pooled_params(sd: StateDict, layers: Optional[int] = None) -> Dict:
+    """open_clip text tower -> CLIPTextPooled params (full depth + projection)."""
+    if layers is None:
+        layers = _count_blocks(sd, "transformer.resblocks")
+    tower = import_clip_text_params(sd, layers=layers, penultimate=False)
+    return {"tower": tower, "text_projection": sd["text_projection"]}
+
+
+def import_openclip_params(sd: StateDict) -> Dict:
+    """Full open_clip CLIP model (visual + text + logit_scale) — the layout of
+    HPSv2 / laion CLIP-H checkpoints used by the image rewards."""
+    return {
+        "visual": import_clip_vision_params(sd, "visual."),
+        "text": import_clip_text_pooled_params(sd),
+        "logit_scale": float(np.asarray(sd["logit_scale"])),
+    }
+
+
+def import_viclip_params(sd: StateDict) -> Dict:
+    """ViCLIP checkpoint ('vision_encoder.*' + 'text_encoder.*', reference
+    viclip/viclip.py) -> video reward model params."""
+    ve = {k[len("vision_encoder."):]: v for k, v in sd.items()
+          if k.startswith("vision_encoder.")}
+    te = {k[len("text_encoder."):]: v for k, v in sd.items()
+          if k.startswith("text_encoder.")}
+    w = ve["conv1.weight"]  # (O, I, kt, P, P); kt == 1 for ViCLIP-L
+    o, i = w.shape[0], w.shape[1]
+    kernel = w.reshape(o, i, w.shape[-2], w.shape[-1]).transpose(2, 3, 1, 0)
+    visual: Dict = {
+        "conv1": {"kernel": np.ascontiguousarray(kernel)},
+        "class_embedding": ve["class_embedding"],
+        "positional_embedding": ve["positional_embedding"],
+        "temporal_positional_embedding": ve["temporal_positional_embedding"],
+        "ln_pre": {"scale": ve["ln_pre.weight"], "bias": ve["ln_pre.bias"]},
+        "ln_post": {"scale": ve["ln_post.weight"], "bias": ve["ln_post.bias"]},
+        "proj": ve["proj"],
+    }
+    n = _count_blocks(ve, "transformer.resblocks")
+    for b in range(n):
+        visual[f"resblocks_{b}"] = _vit_block(ve, f"transformer.resblocks.{b}")
+    out = {
+        "visual": visual,
+        "temp": float(np.asarray(sd.get("temp", 0.01))),
+    }
+    if te:
+        out["text"] = import_clip_text_pooled_params(te)
+    return out

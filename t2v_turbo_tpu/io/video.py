@@ -28,6 +28,16 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8) -> str:
         np.save(path, frames)
         return path
 
+    if ext == ".mp4":
+        try:
+            from ..data import videoio
+
+            if videoio.available():
+                videoio.encode(path, frames, fps=fps)
+                return path
+        except Exception:
+            pass  # fall through to ffmpeg binary / gif
+
     if ext == ".mp4" and shutil.which("ffmpeg"):
         t, h, w, _ = frames.shape
         cmd = [

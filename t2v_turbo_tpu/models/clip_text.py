@@ -32,12 +32,14 @@ class CLIPTextConfig:
     context_length: int = 77
     mlp_ratio: int = 4
     penultimate: bool = True  # layer="penultimate" in the live config
+    quick_gelu: bool = False  # ViCLIP text tower uses QuickGELU
 
 
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     mlp_ratio: int = 4
+    quick_gelu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,7 +55,7 @@ class ResidualAttentionBlock(nn.Module):
         x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
         h = LayerNorm(name="ln_2")(x)
         h = nn.Dense(self.width * self.mlp_ratio, dtype=self.dtype, name="c_fc")(h)
-        h = gelu_exact(h)
+        h = (h * jax.nn.sigmoid(1.702 * h)) if self.quick_gelu else gelu_exact(h)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
         return x
 
@@ -82,7 +84,8 @@ class CLIPTextModel(nn.Module):
         n_run = cfg.layers - 1 if cfg.penultimate else cfg.layers
         for i in range(n_run):
             x = ResidualAttentionBlock(
-                cfg.width, cfg.heads, cfg.mlp_ratio, dtype=self.dtype,
+                cfg.width, cfg.heads, cfg.mlp_ratio,
+                quick_gelu=cfg.quick_gelu, dtype=self.dtype,
                 name=f"resblocks_{i}",
             )(x)
         # note: params for the skipped final block are not created — the

@@ -1,0 +1,109 @@
+"""MotionClone-style training-free motion transfer sampling.
+
+Rebuild of reference motion_prior_sample.py:87-300: DDIM-invert a reference
+video, then run guided DDIM sampling where, inside the top timestep band,
+the noise estimate is corrected by the gradient of the temporal-attention
+rank loss (and optionally an image-reward gradient):
+
+    eps <- eps_cfg - (1 - sqrt(abar_t))**0.5 * (score_motion + score_reward)
+
+The per-step score needs attention-prob capture, so the loop is host-driven
+over jitted pieces (inversion and each guided step are jitted; the band
+structure is static).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion import DDIMSolver, DiffusionSchedule
+from ..diffusion.lcm import predicted_origin, predicted_noise as pred_noise_of
+from ..diffusion.schedule import extract
+from ..training.motion import motion_prior_score, reverse_ddim_loop
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionCloneConfig:
+    num_ddim_timesteps: int = 50
+    guidance_scale: float = 7.5
+    percentage: float = 0.3  # top band where motion guidance applies
+    temp_loss_scale: float = 100.0
+    rank_k: int = 1
+    reward_scale: float = 0.0  # >0 enables reward-gradient guidance
+
+
+def motion_transfer_sample(
+    *,
+    unet_apply: Callable,  # (params, z, ts, ctx, fps=None) -> eps
+    unet_apply_mutable: Callable,  # record_probs variant
+    params,
+    ref_latents: jax.Array,  # (1, T, h, w, C) clean latents of the reference video
+    original_ctx: jax.Array,  # reference-video prompt embedding
+    inference_ctx: jax.Array,  # generation prompt embedding
+    uncond_ctx: jax.Array,
+    sched: DiffusionSchedule,
+    solver: DDIMSolver,
+    cfg: MotionCloneConfig,
+    fps=None,
+    reward_grad_fn: Optional[Callable] = None,  # (latents, ts) -> d(reward)/dz
+):
+    """Returns the final denoised latents (1, T, h, w, C)."""
+    n = cfg.num_ddim_timesteps
+    b = ref_latents.shape[0]
+    nd = ref_latents.ndim
+
+    # 1. invert the reference video across the full grid
+    inter = reverse_ddim_loop(
+        unet_apply, params, ref_latents.astype(jnp.float32), original_ctx,
+        solver, num_steps=n, fps=fps,
+    )
+    latents = inter[-1]
+
+    band_lo = (1.0 - cfg.percentage) * n
+
+    cfg_step = jax.jit(
+        lambda p, z, ts: (
+            unet_apply(p, z, ts, inference_ctx, fps=fps).astype(jnp.float32),
+            unet_apply(p, z, ts, uncond_ctx, fps=fps).astype(jnp.float32),
+        )
+    )
+
+    # 2. guided DDIM sampling from high noise to low
+    for i in reversed(range(n)):
+        index = jnp.full((b,), i, jnp.int32)
+        ts = solver.index_to_timestep(index)
+
+        if i >= band_lo:
+            z_example = inter[i]
+            score, cond_eps = motion_prior_score(
+                unet_apply_mutable, params, latents, ts, z_example,
+                original_ctx, inference_ctx, fps=fps,
+                temp_loss_scale=cfg.temp_loss_scale, rank_k=cfg.rank_k,
+            )
+            uncond_eps = unet_apply(
+                params, latents, ts, uncond_ctx, fps=fps
+            ).astype(jnp.float32)
+            if reward_grad_fn is not None and cfg.reward_scale > 0:
+                score = score + cfg.reward_scale * reward_grad_fn(latents, ts)
+        else:
+            cond_eps, uncond_eps = cfg_step(params, latents, ts)
+            score = jnp.zeros_like(latents)
+
+        w = cfg.guidance_scale
+        eps = cond_eps + w * (cond_eps - uncond_eps)
+        cond_x0 = predicted_origin(cond_eps, ts, latents, "epsilon", sched)
+        uncond_x0 = predicted_origin(uncond_eps, ts, latents, "epsilon", sched)
+        x0 = cond_x0 + w * (cond_x0 - uncond_x0)
+        # guidance correction (reference motion_prior_sample.py:283-292;
+        # alpha_schedule there is sqrt(abar))
+        sqrt_abar = extract(sched.sqrt_alphas_cumprod, ts, nd)
+        eps = eps - jnp.sqrt(1.0 - sqrt_abar) * score
+        latents = solver.ddim_step(x0, eps, index)
+
+    # after the final grid step latents sit at the alpha_cumprods[0] level —
+    # effectively the clean sample (reference decodes them directly, :299)
+    return latents

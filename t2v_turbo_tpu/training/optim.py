@@ -1,0 +1,174 @@
+"""Optimizers: AdamW with low-precision moment states.
+
+The reference uses bitsandbytes AdamW8bit (CUDA) to shrink optimizer memory
+(train_t2v_turbo_v1_lora.py:764-775). optax has no 8-bit Adam; we provide:
+
+- `adamw_bf16_states`: moments stored in bfloat16 (2x smaller than f32,
+  numerically safe for Adam's m/v on TPU),
+- `adamw_q8_states`: blockwise int8-quantized moments (4x smaller) — m is
+  symmetric int8 per 256-value block, v (non-negative) is quantized on
+  sqrt-scale per block; dequantize -> update -> requantize each step.
+
+Both are drop-in optax GradientTransformations.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BLOCK = 256
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(lambda x: x.astype(dtype), tree)
+
+
+def adamw_bf16_states(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """AdamW whose m/v states live in bf16."""
+    base = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+
+    def init(params):
+        state = base.init(params)
+        adam_state = state[0]
+        adam_state = adam_state._replace(
+            mu=_cast_tree(adam_state.mu, jnp.bfloat16),
+            nu=_cast_tree(adam_state.nu, jnp.bfloat16),
+        )
+        return (adam_state,) + tuple(state[1:])
+
+    def update(grads, state, params=None):
+        adam_state = state[0]
+        f32_state = (adam_state._replace(
+            mu=_cast_tree(adam_state.mu, jnp.float32),
+            nu=_cast_tree(adam_state.nu, jnp.float32),
+        ),) + tuple(state[1:])
+        updates, new_state = base.update(grads, f32_state, params)
+        new_adam = new_state[0]
+        new_adam = new_adam._replace(
+            mu=_cast_tree(new_adam.mu, jnp.bfloat16),
+            nu=_cast_tree(new_adam.nu, jnp.bfloat16),
+        )
+        return updates, (new_adam,) + tuple(new_state[1:])
+
+    return optax.GradientTransformation(init, update)
+
+
+class _Q8Moment(NamedTuple):
+    q: jax.Array  # int8 blocks
+    scale: jax.Array  # per-block f32 scale
+
+
+def _q8_quantize(x: jax.Array) -> _Q8Moment:
+    flat = x.reshape(-1)
+    pad = (-flat.size) % BLOCK
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, BLOCK)
+    scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True) / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(blocks / safe), -127, 127).astype(jnp.int8)
+    return _Q8Moment(q=q, scale=scale)
+
+
+def _q8_dequantize(m: _Q8Moment, shape) -> jax.Array:
+    flat = (m.q.astype(jnp.float32) * m.scale).reshape(-1)
+    n = 1
+    for s in shape:
+        n *= s
+    return flat[:n].reshape(shape)
+
+
+class Q8AdamState(NamedTuple):
+    count: jax.Array
+    mu: dict
+    nu: dict
+
+
+def adamw_q8_states(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """AdamW with blockwise-int8 m and v (bitsandbytes-AdamW8bit analog).
+
+    v >= 0 is quantized on sqrt scale for dynamic range. Learning rate may be
+    a float or an optax schedule.
+    """
+
+    def init(params):
+        mu = jax.tree.map(lambda p: _q8_quantize(jnp.zeros_like(p, jnp.float32)), params)
+        nu = jax.tree.map(lambda p: _q8_quantize(jnp.zeros_like(p, jnp.float32)), params)
+        return Q8AdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        def upd(g, mq, nq, p):
+            g = g.astype(jnp.float32)
+            m = b1 * _q8_dequantize(mq, g.shape) + (1 - b1) * g
+            # v stored as sqrt(v) quantized
+            v_prev = _q8_dequantize(nq, g.shape) ** 2
+            v = b2 * v_prev + (1 - b2) * g * g
+            mhat = m / (1 - b1 ** count.astype(jnp.float32))
+            vhat = v / (1 - b2 ** count.astype(jnp.float32))
+            step = mhat / (jnp.sqrt(vhat) + eps)
+            if weight_decay > 0 and p is not None:
+                step = step + weight_decay * p.astype(jnp.float32)
+            return (-lr * step).astype(g.dtype), _q8_quantize(m), _q8_quantize(jnp.sqrt(v))
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        flat_p = treedef.flatten_up_to(params) if params is not None else [None] * len(flat_g)
+        outs = [upd(g, m, n, p) for g, m, n, p in zip(flat_g, flat_mu, flat_nu, flat_p)]
+        updates = treedef.unflatten([o[0] for o in outs])
+        mu = treedef.unflatten([o[1] for o in outs])
+        nu = treedef.unflatten([o[2] for o in outs])
+        return updates, Q8AdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(
+    name: str = "adamw",
+    learning_rate: float = 1e-5,
+    weight_decay: float = 0.0,
+    max_grad_norm: Optional[float] = None,
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    schedule: str = "constant",
+    **kw,
+) -> optax.GradientTransformation:
+    """Flag-level factory mirroring the reference's optimizer/lr options
+    (train_t2v_turbo_v1_lora.py:286-300,764-797)."""
+    lr = learning_rate
+    if schedule == "constant" and warmup_steps:
+        lr = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    elif schedule == "cosine":
+        assert total_steps
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps
+        )
+    if name == "adamw":
+        tx = optax.adamw(lr, weight_decay=weight_decay, **kw)
+    elif name == "adamw_bf16":
+        tx = adamw_bf16_states(lr, weight_decay=weight_decay, **kw)
+    elif name == "adamw8bit":
+        tx = adamw_q8_states(lr, weight_decay=weight_decay, **kw)
+    else:
+        raise ValueError(name)
+    if max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx

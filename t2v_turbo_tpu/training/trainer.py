@@ -1,0 +1,229 @@
+"""LCD trainer driver: state, sharded step, checkpoints, metrics.
+
+The reference trainer's runtime services (HF accelerate `save_state` rotation,
+resume-from-latest, per-step metric gathering — train_t2v_turbo_v1_lora.py:
+739-756, 908-933, 1203-1282) rebuilt on orbax + jit-with-sharding:
+
+- TrainState = (trainable, opt_state, step) pytree; `trainable` is either the
+  LoRA factor tree (v1) or full UNet params (v2).
+- one jitted train step over a Mesh: batch sharded (B->data, T->seq), params
+  replicated; XLA inserts the grad psum.
+- orbax CheckpointManager with rotating max_to_keep, auto-resume from latest.
+- metrics appended as JSONL (wandb-free observability; every scalar the
+  reference logged: distill/reward/video_rm losses, lr, grad_norm).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..lora import LoRAConfig, init_lora, merge_lora
+from ..parallel.mesh import make_mesh, replicated
+from .lcd import LCDConfig, lcd_loss
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_dir: str = "runs/lcd"
+    max_steps: int = 10_000
+    checkpoint_every: int = 2000
+    keep_checkpoints: int = 3
+    log_every: int = 10
+    seed: int = 0
+    max_grad_norm: float = 10.0
+    lora_rank: Optional[int] = 64  # None -> full finetune (v2 style)
+    lora_scale: float = 1.0
+    ema_decay: Optional[float] = None  # v2 target net
+
+
+class LCDTrainer:
+    def __init__(
+        self,
+        *,
+        student_apply: Callable,
+        teacher_apply: Callable,
+        teacher_params,
+        student_params,
+        sched,
+        solver,
+        lcd_cfg: LCDConfig,
+        optimizer: optax.GradientTransformation,
+        cfg: TrainerConfig,
+        mesh=None,
+        reward_fn=None,
+        video_reward_fn=None,
+        loss_fn_override=None,
+    ):
+        """loss_fn_override(trainable, batch, key, ema=None) -> (loss, metrics)
+        replaces the built-in v1 LCD loss — the v2 latent trainer plugs
+        lcd_v2_loss in this way (its target network is the EMA state)."""
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.optimizer = optimizer
+        self.student_params = student_params
+        self.teacher_params = teacher_params
+
+        use_lora = cfg.lora_rank is not None
+        if use_lora:
+            lora_cfg = LoRAConfig(rank=cfg.lora_rank, scale=cfg.lora_scale)
+            trainable = init_lora(
+                student_params, lora_cfg, jax.random.PRNGKey(cfg.seed)
+            )
+
+            def apply_fn(tr, *args, **kw):
+                return student_apply(
+                    merge_lora(self.student_params, tr, cfg.lora_scale), *args, **kw
+                )
+        else:
+            trainable = student_params
+
+            def apply_fn(tr, *args, **kw):
+                return student_apply(tr, *args, **kw)
+
+        self._apply_fn = apply_fn
+        opt_state = optimizer.init(trainable)
+        self.state = {
+            "trainable": trainable,
+            "opt_state": opt_state,
+            "step": jnp.zeros([], jnp.int32),
+        }
+        if cfg.ema_decay is not None:
+            self.state["ema"] = jax.tree.map(jnp.copy, trainable)
+
+        def loss_fn(trainable, batch, key, ema=None):
+            if loss_fn_override is not None:
+                return loss_fn_override(trainable, batch, key, ema=ema)
+            return lcd_loss(
+                trainable,
+                batch,
+                key,
+                student_apply=apply_fn,
+                teacher_apply=teacher_apply,
+                teacher_params=self.teacher_params,
+                sched=sched,
+                solver=solver,
+                cfg=lcd_cfg,
+                reward_fn=reward_fn,
+                video_reward_fn=video_reward_fn,
+            )
+
+        def step_fn(state, batch, key):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["trainable"], batch, key, state.get("ema")
+            )
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], state["trainable"]
+            )
+            trainable = optax.apply_updates(state["trainable"], updates)
+            new_state = dict(
+                state,
+                trainable=trainable,
+                opt_state=opt_state,
+                step=state["step"] + 1,
+            )
+            if cfg.ema_decay is not None:
+                new_state["ema"] = jax.tree.map(
+                    lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
+                    state["ema"],
+                    trainable,
+                )
+            metrics["grad_norm"] = gnorm
+            return new_state, metrics
+
+        self._step_jit = jax.jit(step_fn, donate_argnums=(0,))
+
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        self.ckpt_mgr = ocp.CheckpointManager(
+            os.path.abspath(os.path.join(cfg.output_dir, "checkpoints")),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=cfg.keep_checkpoints, create=True
+            ),
+        )
+        self._metrics_path = os.path.join(cfg.output_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------------
+    def resume_if_available(self) -> int:
+        latest = self.ckpt_mgr.latest_step()
+        if latest is None:
+            return 0
+        restored = self.ckpt_mgr.restore(
+            latest, args=ocp.args.StandardRestore(self.state)
+        )
+        self.state = restored
+        return int(latest)
+
+    def save(self, step: int):
+        self.ckpt_mgr.save(step, args=ocp.args.StandardSave(self.state))
+        self.ckpt_mgr.wait_until_finished()
+
+    def _log(self, step: int, metrics: dict, dt: float):
+        row = {
+            "step": step,
+            "time_per_step_s": round(dt, 4),
+            **{k: float(v) for k, v in metrics.items()},
+        }
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        return row
+
+    def shard_batch(self, batch):
+        sh_bt = NamedSharding(self.mesh, P("data", "seq"))
+        sh_b = NamedSharding(self.mesh, P("data"))
+
+        def put(x):
+            x = jnp.asarray(x)
+            if x.ndim >= 5:
+                return jax.device_put(x, sh_bt)
+            if x.ndim >= 1:
+                return jax.device_put(x, sh_b)
+            return jax.device_put(x, replicated(self.mesh))
+
+        return jax.tree.map(put, batch)
+
+    # ------------------------------------------------------------------
+    def run(self, data_iter: Iterator[dict], max_steps: Optional[int] = None):
+        """Main loop: resume, iterate sharded steps, checkpoint, log."""
+        cfg = self.cfg
+        start = self.resume_if_available()
+        max_steps = max_steps or cfg.max_steps
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        last_metrics = {}
+        with self.mesh:
+            for step in range(start, max_steps):
+                batch = self.shard_batch(next(data_iter))
+                key, sub = jax.random.split(key)
+                t0 = time.perf_counter()
+                self.state, metrics = self._step_jit(self.state, batch, sub)
+                if (step + 1) % cfg.log_every == 0 or step == start:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    dt = time.perf_counter() - t0
+                    last_metrics = self._log(step + 1, metrics, dt)
+                if (step + 1) % cfg.checkpoint_every == 0:
+                    self.save(step + 1)
+        if max_steps % cfg.checkpoint_every != 0:
+            self.save(max_steps)
+        return last_metrics
+
+    # ------------------------------------------------------------------
+    def export_student_params(self):
+        """Inference-ready merged params (v1: base + collapsed LoRA —
+        the reference's unet_lora.pt + collapse flow, utils/lora.py:793)."""
+        if self.cfg.lora_rank is not None:
+            return merge_lora(
+                self.student_params, self.state["trainable"], self.cfg.lora_scale
+            )
+        return self.state["trainable"]

@@ -13,9 +13,13 @@ import os
 def enable_persistent_cache(path: str | None = None) -> str:
     import jax
 
-    path = path or os.environ.get(
+    base = path or os.environ.get(
         "T2V_TPU_JAX_CACHE", os.path.expanduser("~/.cache/t2v_tpu_jax")
     )
+    # key by platform: CPU loading TPU-era AOT entries trips machine-feature
+    # mismatch warnings/SIGILL risk
+    platform = jax.default_backend()
+    path = os.path.join(base, platform)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,215 @@
+"""Data layer tests: native videoio, tar pipeline, datasets, transforms."""
+
+import os
+import pickle
+import tarfile
+
+import numpy as np
+import pytest
+
+from t2v_turbo_tpu.data import videoio
+from t2v_turbo_tpu.data.transforms import (
+    AestheticsFilter,
+    KeyFilter,
+    LanguageFilter,
+    UnsafeFilter,
+    crop_video,
+    normalize_video,
+    resize_crop,
+    resize_video,
+)
+
+NATIVE = videoio.available()
+
+
+def make_video(path, t=24, h=64, w=96, fps=8):
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(t, h, w, 3) * 255).astype(np.uint8)
+    videoio.encode(str(path), frames, fps=fps)
+    return frames
+
+
+@pytest.mark.skipif(not NATIVE, reason="native videoio not built")
+class TestVideoIO:
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "v.mp4"
+        src = make_video(p)
+        info = videoio.probe(str(p))
+        assert (info.width, info.height) == (96, 64)
+        dec = videoio.decode(str(p), n_frames=8, target_fps=4)
+        assert dec.shape == (8, 64, 96, 3)
+        # lossy codec: mean brightness preserved
+        assert abs(float(dec.mean()) - float(src.mean())) < 5
+
+    def test_resize_decode(self, tmp_path):
+        p = tmp_path / "v.mp4"
+        make_video(p)
+        dec = videoio.decode(str(p), n_frames=4, width=48, height=32)
+        assert dec.shape == (4, 32, 48, 3)
+
+    def test_missing_file(self):
+        with pytest.raises(IOError):
+            videoio.decode("/tmp/definitely_missing_video.mp4", 4)
+
+    def test_threaded_batch_error_tolerance(self, tmp_path):
+        p = tmp_path / "v.mp4"
+        make_video(p)
+        d = videoio.VideoDecoder(n_frames=4)
+        out = d.decode_batch([str(p), "/tmp/missing.mp4"])
+        assert out[0] is not None and out[1] is None
+
+    def test_short_clip_pads(self, tmp_path):
+        p = tmp_path / "short.mp4"
+        make_video(p, t=4, fps=8)
+        dec = videoio.decode(str(p), n_frames=16, target_fps=8)
+        assert dec.shape[0] == 16  # padded by repeating last frame
+
+
+class TestTransforms:
+    def test_resize_video(self):
+        v = np.zeros((2, 64, 96, 3), np.uint8)
+        out = resize_video(v, 32)
+        assert out.shape == (2, 32, 48, 3)
+
+    def test_crop_center_and_random(self):
+        v = np.arange(2 * 8 * 8 * 3, dtype=np.uint8).reshape(2, 8, 8, 3)
+        c = crop_video(v, 4, 4)
+        np.testing.assert_array_equal(c, v[:, 2:6, 2:6])
+        r = crop_video(v, 4, 4, random=True, rng=np.random.RandomState(0))
+        assert r.shape == (2, 4, 4, 3)
+
+    def test_resize_crop_target(self):
+        v = np.zeros((2, 100, 300, 3), np.uint8)
+        out = resize_crop(v, (64, 96))
+        assert out.shape == (2, 64, 96, 3)
+
+    def test_normalize(self):
+        v = np.array([[[[0, 127, 255]]]], np.uint8)
+        out = normalize_video(v)
+        assert out.min() >= -1.0 and out.max() <= 1.0
+        assert out[0, 0, 0, 0] == pytest.approx(-1.0)
+        assert out[0, 0, 0, 2] == pytest.approx(1.0)
+
+    def test_filters(self):
+        s = {"mp4": b"", "txt": "hi", "json": {"language": "en", "aesthetic": 5.0, "p_unsafe": 0.1}}
+        assert KeyFilter()(s)
+        assert LanguageFilter()(s)
+        assert AestheticsFilter(4.0)(s)
+        assert not AestheticsFilter(6.0)(s)
+        assert UnsafeFilter(0.5)(s)
+        assert not UnsafeFilter(0.05)(s)
+        assert not KeyFilter()({"txt": "no video"})
+
+
+@pytest.mark.skipif(not NATIVE, reason="native videoio not built")
+class TestWebData:
+    @pytest.fixture()
+    def shard(self, tmp_path):
+        # build a 3-sample tar shard with mp4+txt+json per key
+        vids = []
+        for i in range(3):
+            p = tmp_path / f"s{i}.mp4"
+            vids.append(make_video(p, t=12, h=48, w=64))
+        tar_path = tmp_path / "shard-000000.tar"
+        with tarfile.open(tar_path, "w") as tf:
+            for i in range(3):
+                tf.add(tmp_path / f"s{i}.mp4", arcname=f"{i:05d}.mp4")
+                txt = tmp_path / "t.txt"
+                txt.write_text(f"caption {i}")
+                tf.add(txt, arcname=f"{i:05d}.txt")
+                js = tmp_path / "j.json"
+                js.write_text('{"language": "en"}')
+                tf.add(js, arcname=f"{i:05d}.json")
+        return str(tar_path)
+
+    def test_tar_iteration(self, shard):
+        from t2v_turbo_tpu.data.webdata import iterate_tar_samples
+
+        samples = list(iterate_tar_samples(shard))
+        assert len(samples) == 3
+        assert all("mp4" in s and "txt" in s and "json" in s for s in samples)
+        assert samples[0]["txt"] == "caption 0"
+
+    def test_pipeline_batches(self, shard):
+        from t2v_turbo_tpu.data.webdata import WebVideoDataset
+
+        ds = WebVideoDataset(
+            [shard],
+            batch_size=2,
+            n_frames=4,
+            target_fps=4,
+            size_hw=(32, 48),
+            split_by_host=False,
+            loop=False,
+            seed=0,
+        )
+        batches = list(ds)
+        assert len(batches) == 1  # 3 samples -> one full batch of 2
+        b = batches[0]
+        assert b["video"].shape == (2, 4, 32, 48, 3)
+        assert b["video"].dtype == np.float32
+        assert abs(float(b["video"].mean())) < 0.2  # normalized around 0
+        assert len(b["txt"]) == 2
+
+    def test_host_sharding(self):
+        from t2v_turbo_tpu.data.webdata import split_shards_by_host
+
+        shards = [f"s{i}" for i in range(10)]
+        a = split_shards_by_host(shards, 0, 4)
+        b = split_shards_by_host(shards, 1, 4)
+        assert not set(a) & set(b)
+        all_assigned = sum(
+            (split_shards_by_host(shards, i, 4) for i in range(4)), []
+        )
+        assert sorted(all_assigned) == sorted(shards)
+
+
+@pytest.mark.skipif(not NATIVE, reason="native videoio not built")
+class TestDatasets:
+    def test_mp4_dataset(self, tmp_path):
+        from t2v_turbo_tpu.data.datasets import MP4Dataset
+
+        p = tmp_path / "v.mp4"
+        make_video(p)
+        rows = [{"path": str(p), "text": "a video"}] * 3
+        ds = MP4Dataset(rows, n_frames=4, size_hw=(32, 48))
+        item = ds[0]
+        assert item["video"].shape == (4, 32, 48, 3)
+        batch = next(ds.batches(2))
+        assert batch["video"].shape == (2, 4, 32, 48, 3)
+
+    def test_mp4_dataset_retries_bad_rows(self, tmp_path):
+        from t2v_turbo_tpu.data.datasets import MP4Dataset
+
+        p = tmp_path / "v.mp4"
+        make_video(p)
+        rows = [{"path": "/missing.mp4", "text": "bad"},
+                {"path": str(p), "text": "good"}]
+        ds = MP4Dataset(rows, n_frames=4, size_hw=(32, 48), seed=1)
+        item = ds[0]  # resamples to the good row
+        assert item["video"].shape[0] == 4
+
+    def test_latent_dataset(self, tmp_path):
+        from t2v_turbo_tpu.data.datasets import MP4LatentDataset
+
+        rng = np.random.RandomState(0)
+        paths = []
+        for i in range(4):
+            d = {
+                "index": np.int32(i),
+                "z_t": rng.randn(4, 8, 8, 4).astype(np.float32),
+                "cond_teacher_out": rng.randn(4, 8, 8, 4).astype(np.float32),
+                "uncond_teacher_out": rng.randn(4, 8, 8, 4).astype(np.float32),
+                "score": rng.randn(4, 8, 8, 4).astype(np.float32),
+                "prompt_emb": rng.randn(7, 16).astype(np.float32),
+                "use_motion_guide": i % 2 == 0,
+                "short_txt": f"cap {i}",
+            }
+            p = tmp_path / f"{i}.pkl"
+            p.write_bytes(pickle.dumps(d))
+            paths.append(str(p))
+        ds = MP4LatentDataset(paths)
+        batch = next(ds.batches(2))
+        assert batch["z_t"].shape == (2, 4, 8, 8, 4)
+        assert batch["prompt_emb"].shape == (2, 7, 16)
+        assert batch["use_motion_guide"].dtype == bool

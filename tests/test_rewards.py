@@ -1,0 +1,135 @@
+"""Reward tower tests (tiny configs, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from t2v_turbo_tpu.models.clip_text import CLIPTextConfig
+from t2v_turbo_tpu.rewards.reward_fn import (
+    build_image_reward_model,
+    build_video_reward_model,
+    get_reward_fn,
+    preprocess_images,
+)
+from t2v_turbo_tpu.rewards.vit import (
+    VideoViTConfig,
+    ViTConfig,
+)
+
+TINY_VIT = ViTConfig(image_size=28, patch_size=14, width=32, layers=2, heads=4, output_dim=16)
+TINY_VVIT = VideoViTConfig(image_size=28, patch_size=14, width=32, layers=2, heads=4, output_dim=16, num_frames=4)
+TINY_TEXT = CLIPTextConfig(vocab_size=60, width=32, heads=4, layers=2, context_length=8, penultimate=False)
+
+
+class FakeTok:
+    def __init__(self, context_length=8):
+        self.context_length = context_length
+
+    def __call__(self, texts):
+        out = np.zeros((len(texts), self.context_length), np.int32)
+        for i, t in enumerate(texts):
+            n = min(len(t) % 5 + 2, self.context_length)
+            out[i, :n] = (np.arange(n) + len(t)) % 59 + 1
+        return out
+
+
+@pytest.fixture(scope="module")
+def img_rm():
+    return build_image_reward_model(
+        vit_cfg=TINY_VIT, text_cfg=TINY_TEXT, tokenizer=FakeTok()
+    )
+
+
+@pytest.fixture(scope="module")
+def vid_rm():
+    return build_video_reward_model(
+        vit_cfg=TINY_VVIT, text_cfg=TINY_TEXT, tokenizer=FakeTok()
+    )
+
+
+class TestPreprocess:
+    def test_resize_and_normalize(self):
+        imgs = jnp.ones((2, 64, 48, 3)) * 0.5
+        out = preprocess_images(imgs, size=28)
+        assert out.shape == (2, 28, 28, 3)
+        # normalized: (0.5 - mean)/std
+        expected = (0.5 - 0.48145466) / 0.26862954
+        assert abs(float(out[0, 14, 14, 0]) - expected) < 0.05
+
+    def test_video_batch(self):
+        vids = jnp.zeros((1, 4, 40, 40, 3))
+        out = preprocess_images(vids, size=28)
+        assert out.shape == (1, 4, 28, 28, 3)
+
+    def test_differentiable(self):
+        def f(x):
+            return jnp.sum(preprocess_images(x, size=28) ** 2)
+
+        g = jax.grad(f)(jnp.ones((1, 40, 40, 3)) * 0.3)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestImageReward:
+    def test_score_shape_and_range(self, img_rm):
+        images = jnp.clip(
+            jax.random.uniform(jax.random.PRNGKey(0), (3, 32, 32, 3)), 0, 1
+        )
+        scores = img_rm(images, ["a cat", "a dog", "a bird"])
+        assert scores.shape == (3,)
+        assert (np.abs(np.asarray(scores)) <= 1.0 + 1e-5).all()  # cosine
+
+    def test_grad_through_images_only(self, img_rm):
+        tf = img_rm.encode_texts(["x"])
+
+        def loss(images):
+            return -img_rm.score(images, tf).mean()
+
+        g = jax.grad(loss)(jnp.full((1, 32, 32, 3), 0.5))
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_logit_scale(self, img_rm):
+        images = jnp.full((1, 32, 32, 3), 0.5)
+        tf = img_rm.encode_texts(["y"])
+        s = img_rm.score(images, tf)
+        sl = img_rm.score(images, tf, logits=True)
+        np.testing.assert_allclose(
+            np.asarray(sl), np.asarray(s) * img_rm.logit_scale, rtol=1e-5
+        )
+
+
+class TestVideoReward:
+    def test_score(self, vid_rm):
+        vids = jnp.clip(
+            jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 32, 32, 3)), 0, 1
+        )
+        scores = vid_rm(vids, ["a", "b"])
+        assert scores.shape == (2,)
+        assert (np.abs(np.asarray(scores)) <= 1.0 + 1e-5).all()
+
+    def test_single_frame_uses_mean_temporal_pos(self, vid_rm):
+        vids = jnp.full((1, 1, 32, 32, 3), 0.5)
+        s = vid_rm(vids, ["z"])
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_grad(self, vid_rm):
+        tf = vid_rm.encode_texts(["x"])
+
+        def loss(v):
+            return -vid_rm.score(v, tf).mean()
+
+        g = jax.grad(loss)(jnp.full((1, 4, 32, 32, 3), 0.5))
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestFactory:
+    def test_names(self):
+        rm = get_reward_fn(
+            "clip", vit_cfg=TINY_VIT, text_cfg=TINY_TEXT, tokenizer=FakeTok()
+        )
+        assert rm is not None
+        with pytest.raises(NotImplementedError):
+            get_reward_fn("img_reward")
+        with pytest.raises(ValueError):
+            get_reward_fn("nope")

@@ -1,0 +1,201 @@
+"""v2 latent trainer loss + MotionClone machinery tests (tiny configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
+from t2v_turbo_tpu.models import UNetConfig, UNetModel
+from t2v_turbo_tpu.training.lcd_v2 import LCDV2Config, lcd_v2_loss
+from t2v_turbo_tpu.training.motion import (
+    motion_prior_score,
+    motion_rank_loss,
+    reverse_ddim_loop,
+    temp_attn_probs,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UNetConfig(
+        model_channels=32,
+        num_res_blocks=1,
+        attention_resolutions=(2, 1),
+        channel_mult=(1, 2),
+        num_head_channels=16,
+        context_dim=16,
+        temporal_length=4,
+        time_cond_proj_dim=8,
+    )
+    model = UNetModel(cfg=cfg)
+    x = jnp.zeros((2, 4, 8, 8, 4))
+    ctx = jnp.zeros((2, 7, 16))
+    params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32), ctx,
+        timestep_cond=jnp.zeros((2, 8)),
+    )
+    # make outputs nonzero
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.random.RandomState(0).randn(*p.shape).astype(p.dtype),
+        params,
+    )
+    sched = DiffusionSchedule.create()
+    solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+    return model, params, sched, solver
+
+
+def v2_batch(b=2, t=4):
+    rng = np.random.RandomState(1)
+    return {
+        "index": np.array([45, 10]),  # one in top band, one out
+        "z_t": rng.randn(b, t, 8, 8, 4).astype(np.float32),
+        "cond_teacher_out": rng.randn(b, t, 8, 8, 4).astype(np.float32),
+        "uncond_teacher_out": rng.randn(b, t, 8, 8, 4).astype(np.float32),
+        "score": rng.randn(b, t, 8, 8, 4).astype(np.float32),
+        "prompt_emb": rng.randn(b, 7, 16).astype(np.float32),
+        "use_motion_guide": np.array([True, True]),
+        "fps": np.full((b,), 16.0, np.float32),
+    }
+
+
+class TestLCDV2:
+    def test_loss_finite_and_grad(self, setup):
+        model, params, sched, solver = setup
+
+        def apply(p, z, t, c, fps=None, timestep_cond=None, motion_cond=None):
+            return model.apply(
+                p, z, t, c, fps=fps, timestep_cond=timestep_cond,
+                motion_cond=motion_cond,
+            )
+
+        cfg = LCDV2Config(w_embedding_dim=8)
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: lcd_v2_loss(
+                p, {k: jnp.asarray(v) if not isinstance(v, list) else v
+                    for k, v in v2_batch().items()},
+                jax.random.PRNGKey(0),
+                student_apply=apply, sched=sched, solver=solver, cfg=cfg,
+            ),
+            has_aux=True,
+        )(params)
+        assert np.isfinite(float(loss))
+        gn = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+        assert gn > 0
+
+    def test_motion_guidance_gating(self, setup):
+        """Score only affects samples with index in the top percentage band;
+        zeroing the in-band score must change the loss, zeroing the
+        out-of-band score must not."""
+        model, params, sched, solver = setup
+
+        def apply(p, z, t, c, fps=None, timestep_cond=None, motion_cond=None):
+            return model.apply(
+                p, z, t, c, fps=fps, timestep_cond=timestep_cond,
+                motion_cond=motion_cond,
+            )
+
+        cfg = LCDV2Config(w_embedding_dim=8, motion_gs=0.5, percentage=0.3)
+        key = jax.random.PRNGKey(0)
+        base = {k: jnp.asarray(v) for k, v in v2_batch().items()}
+
+        def loss_of(batch):
+            l, _ = lcd_v2_loss(
+                params, batch, key, student_apply=apply, sched=sched,
+                solver=solver, cfg=cfg,
+            )
+            return float(l)
+
+        l0 = loss_of(base)
+        in_band_zeroed = dict(base, score=base["score"].at[0].set(0.0))
+        out_band_zeroed = dict(base, score=base["score"].at[1].set(0.0))
+        assert loss_of(out_band_zeroed) == pytest.approx(l0, rel=1e-6)
+        assert loss_of(in_band_zeroed) != pytest.approx(l0, rel=1e-6)
+
+    def test_ema_target(self, setup):
+        model, params, sched, solver = setup
+
+        def apply(p, z, t, c, fps=None, timestep_cond=None, motion_cond=None):
+            return model.apply(
+                p, z, t, c, fps=fps, timestep_cond=timestep_cond,
+                motion_cond=motion_cond,
+            )
+
+        cfg = LCDV2Config(w_embedding_dim=8)
+        batch = {k: jnp.asarray(v) for k, v in v2_batch().items()}
+        key = jax.random.PRNGKey(0)
+        l_online, _ = lcd_v2_loss(
+            params, batch, key, student_apply=apply, sched=sched, solver=solver,
+            cfg=cfg,
+        )
+        ema = jax.tree.map(lambda p: p * 0.5, params)
+        l_ema, _ = lcd_v2_loss(
+            params, batch, key, student_apply=apply, target_params=ema,
+            sched=sched, solver=solver, cfg=cfg,
+        )
+        assert float(l_online) != pytest.approx(float(l_ema), rel=1e-6)
+
+
+class TestMotion:
+    def _apply_mutable(self, model):
+        def f(p, z, ts, ctx, fps=None):
+            return model.apply(
+                p, z, ts, ctx, fps=fps, record_probs=True,
+                mutable=["intermediates"],
+            )
+
+        return f
+
+    def test_prob_capture_layers(self, setup):
+        model, params, sched, solver = setup
+        f = self._apply_mutable(model)
+        z = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 4))
+        out, probs = temp_attn_probs(
+            f, params, z, jnp.array([500]), jnp.ones((1, 7, 16))
+        )
+        assert out.shape == z.shape
+        # tiny config: output blocks with temporal attention = 4 (2 levels x
+        # (num_res+1) with attn at both ds) minus none -> count > 0
+        assert len(probs) > 0
+        for p in probs:
+            assert p.shape[-1] == 4  # T
+            np.testing.assert_allclose(np.asarray(p).sum(-1), 1.0, rtol=1e-4)
+
+    def test_rank_loss(self):
+        ref = jnp.asarray(np.random.RandomState(0).rand(2, 4, 4))
+        gen = ref + 0.1
+        l_same = motion_rank_loss([ref], [ref])
+        l_diff = motion_rank_loss([gen], [ref])
+        assert float(l_same) == pytest.approx(0.0, abs=1e-8)
+        assert float(l_diff) > 0
+        assert float(motion_rank_loss([gen], [ref], rank_k=0)) == 0.0
+
+    def test_motion_score(self, setup):
+        model, params, sched, solver = setup
+        f = self._apply_mutable(model)
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8, 4))
+        z_ex = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8, 8, 4))
+        ctx = jnp.ones((1, 7, 16))
+        score, cond_out = motion_prior_score(
+            f, params, z, jnp.array([900]), z_ex, ctx, ctx
+        )
+        assert score.shape == z.shape
+        assert float(jnp.abs(score).sum()) > 0
+        assert cond_out.shape == z.shape
+
+    def test_inversion_loop(self, setup):
+        model, params, sched, solver = setup
+
+        def apply(p, z, ts, ctx, fps=None):
+            return model.apply(p, z, ts, ctx, fps=fps)
+
+        z0 = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 8, 8, 4)) * 0.2
+        inter = reverse_ddim_loop(
+            apply, params, z0, jnp.ones((1, 7, 16)), solver, num_steps=5
+        )
+        assert inter.shape == (5, 1, 4, 8, 8, 4)
+        assert np.isfinite(np.asarray(inter)).all()
+        # noising trajectory: variance grows toward the prior
+        v0 = float(jnp.var(inter[0]))
+        v4 = float(jnp.var(inter[4]))
+        assert v4 > v0 * 0.5  # sanity: not collapsing

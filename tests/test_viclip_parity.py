@@ -1,0 +1,123 @@
+"""Numerical parity of the ViCLIP rebuild vs the reference torch
+implementation (viclip/viclip_vision.py, viclip_text.py), run read-only at
+B/16 scale with random weights."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+# viclip/__init__ pulls in its tokenizer, which needs ftfy (absent here)
+import types  # noqa: E402
+
+if "ftfy" not in sys.modules:
+    ftfy = types.ModuleType("ftfy")
+    ftfy.fix_text = lambda s: s
+    sys.modules["ftfy"] = ftfy
+
+# viclip_vision imports timm for DropPath (identity at drop_path=0) and the
+# @register_model decorator
+if "timm" not in sys.modules:
+    import torch.nn as _tnn
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_registry = types.ModuleType("timm.models.registry")
+    timm_layers.DropPath = lambda *a, **k: _tnn.Identity()
+    timm_registry.register_model = lambda f: f
+    sys.modules.update(
+        {
+            "timm": timm,
+            "timm.models": timm_models,
+            "timm.models.layers": timm_layers,
+            "timm.models.registry": timm_registry,
+        }
+    )
+
+# viclip_text does `from pkg_resources import packaging` (absent on py3.12)
+if "pkg_resources" not in sys.modules:
+    import packaging as _packaging
+    import packaging.version  # noqa: F401
+
+    pkg_resources = types.ModuleType("pkg_resources")
+    pkg_resources.packaging = _packaging
+    sys.modules["pkg_resources"] = pkg_resources
+
+from t2v_turbo_tpu.io.torch_import import (  # noqa: E402
+    import_clip_text_pooled_params,
+    import_viclip_params,
+)
+from t2v_turbo_tpu.models.clip_text import CLIPTextConfig  # noqa: E402
+from t2v_turbo_tpu.rewards.reward_fn import CLIPTextPooled  # noqa: E402
+from t2v_turbo_tpu.rewards.vit import (  # noqa: E402
+    VideoViTConfig,
+    VideoVisionTransformer,
+)
+
+
+def to_np(sd):
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+class TestViCLIPVisionParity:
+    def test_video_tower(self):
+        from viclip.viclip_vision import clip_joint_b16
+
+        torch.manual_seed(0)
+        ref = clip_joint_b16(pretrained=False, num_frames=4).eval()
+        sd = {f"vision_encoder.{k}": v for k, v in to_np(ref.state_dict()).items()}
+        params = import_viclip_params(sd | {"temp": np.float32(0.01)})["visual"]
+
+        cfg = VideoViTConfig(
+            image_size=224, patch_size=16, width=768, layers=12, heads=12,
+            output_dim=512, num_frames=4, quick_gelu=True,
+        )
+        model = VideoVisionTransformer(cfg=cfg)
+
+        rng = np.random.RandomState(0)
+        # torch input: (B, C, T, H, W); ours: (B, T, H, W, C)
+        x = rng.randn(1, 3, 4, 224, 224).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        out = model.apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+        )
+        np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-3, rtol=1e-3)
+
+
+class TestViCLIPTextParity:
+    def test_text_tower_pooled(self):
+        from viclip.viclip_text import clip_text_b16
+
+        torch.manual_seed(1)
+        ref = clip_text_b16(pretrained=False).eval()
+        # CLIP_TEXT leaves parameters uninitialized (empty) for pos/proj;
+        # fill them deterministically
+        with torch.no_grad():
+            ref.positional_embedding.normal_(0, 0.01)
+            ref.text_projection.normal_(0, 0.02)
+        sd = to_np(ref.state_dict())
+        params = import_clip_text_pooled_params(sd, layers=12)
+
+        cfg = CLIPTextConfig(
+            vocab_size=49408, width=512, heads=8, layers=12, context_length=77,
+            penultimate=False, quick_gelu=True,
+        )
+        model = CLIPTextPooled(cfg=cfg, proj_dim=512)
+
+        toks = np.zeros((2, 77), np.int64)
+        toks[0, :5] = [49406, 320, 2368, 49407, 0]
+        toks[1, :4] = [49406, 320, 49407, 0]
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(toks)).numpy()
+        out = model.apply({"params": params}, jnp.asarray(toks.astype(np.int32)))
+        np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=1e-3)

@@ -458,3 +458,92 @@ def import_viclip_params(sd: StateDict) -> Dict:
     if te:
         out["text"] = import_clip_text_pooled_params(te)
     return out
+
+
+# --------------------------------------------------------------------------
+# ModelScope UNet3DConditionModel (diffusers layout) — reference
+# model_scope/unet_3d_condition.py + unet_3d_blocks.py
+# --------------------------------------------------------------------------
+
+
+def _ms_resnet(sd, p):
+    out = {
+        "in_norm": _norm(sd, f"{p}.norm1"),
+        "in_conv": _conv2d(sd, f"{p}.conv1"),
+        "emb_proj": _lin(sd, f"{p}.time_emb_proj"),
+        "out_norm": _norm(sd, f"{p}.norm2"),
+        "out_conv": _conv2d(sd, f"{p}.conv2"),
+    }
+    if f"{p}.conv_shortcut.weight" in sd:
+        w = sd[f"{p}.conv_shortcut.weight"]
+        out["skip_connection"] = {
+            "kernel": np.ascontiguousarray(
+                w.reshape(w.shape[0], w.shape[1]).T[None, None]
+            ),
+            "bias": sd[f"{p}.conv_shortcut.bias"],
+        }
+    return out
+
+
+def _ms_level_layer(sd, block_prefix, j):
+    return {
+        "resnet": _ms_resnet(sd, f"{block_prefix}.resnets.{j}"),
+        "temp_conv": _temporal_conv_block(sd, f"{block_prefix}.temp_convs.{j}"),
+    }
+
+
+def _ms_level_layer_attn(sd, block_prefix, j):
+    out = _ms_level_layer(sd, block_prefix, j)
+    out["attn"] = _transformer(sd, f"{block_prefix}.attentions.{j}")
+    out["temp_attn"] = _transformer(sd, f"{block_prefix}.temp_attentions.{j}")
+    return out
+
+
+def import_ms_unet_params(sd: StateDict, layers_per_block: int = 2,
+                          n_levels: int = 4) -> Dict:
+    """diffusers text-to-video-ms state dict -> MSUNet3DConditionModel params.
+    Down blocks 0..2 are CrossAttnDownBlock3D, 3 is DownBlock3D; up block 0 is
+    UpBlock3D, 1..3 CrossAttnUpBlock3D."""
+    p: Dict = {
+        "conv_in": _conv2d(sd, "conv_in"),
+        "linear_1": _lin(sd, "time_embedding.linear_1"),
+        "linear_2": _lin(sd, "time_embedding.linear_2"),
+        "transformer_in": _transformer(sd, "transformer_in"),
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv2d(sd, "conv_out"),
+    }
+    if "time_embedding.cond_proj.weight" in sd:
+        p["cond_proj"] = _lin(sd, "time_embedding.cond_proj", bias=False)
+
+    for i in range(n_levels):
+        bp = f"down_blocks.{i}"
+        cross = i < n_levels - 1
+        for j in range(layers_per_block):
+            p[f"down_{i}_layer_{j}"] = (
+                _ms_level_layer_attn(sd, bp, j) if cross else _ms_level_layer(sd, bp, j)
+            )
+        if i < n_levels - 1:
+            key = (
+                f"{bp}.downsamplers.0.conv"
+                if f"{bp}.downsamplers.0.conv.weight" in sd
+                else f"{bp}.downsamplers.0.op"
+            )
+            p[f"down_{i}_downsample"] = {"op": _conv2d(sd, key)}
+
+    p["mid_resnet_0"] = _ms_resnet(sd, "mid_block.resnets.0")
+    p["mid_resnet_1"] = _ms_resnet(sd, "mid_block.resnets.1")
+    p["mid_temp_conv_0"] = _temporal_conv_block(sd, "mid_block.temp_convs.0")
+    p["mid_temp_conv_1"] = _temporal_conv_block(sd, "mid_block.temp_convs.1")
+    p["mid_attn"] = _transformer(sd, "mid_block.attentions.0")
+    p["mid_temp_attn"] = _transformer(sd, "mid_block.temp_attentions.0")
+
+    for i in range(n_levels):
+        bp = f"up_blocks.{i}"
+        cross = i > 0
+        for j in range(layers_per_block + 1):
+            p[f"up_{i}_layer_{j}"] = (
+                _ms_level_layer_attn(sd, bp, j) if cross else _ms_level_layer(sd, bp, j)
+            )
+        if i < n_levels - 1:
+            p[f"up_{i}_upsample"] = {"conv": _conv2d(sd, f"{bp}.upsamplers.0.conv")}
+    return p

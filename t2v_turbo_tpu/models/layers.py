@@ -239,6 +239,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     context_dim: Optional[int] = None
     use_linear: bool = True
+    zero_init: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -261,7 +262,12 @@ class SpatialTransformer(nn.Module):
                 name=f"blocks_{i}",
             )(x, context=context, use_flash=use_flash)
         x = nn.Dense(
-            c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
+            c,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.lecun_normal(),
+            name="proj_out",
         )(x)
         return x.reshape(n, h, w, c) + x_in
 
@@ -326,6 +332,7 @@ class TemporalConvBlock(nn.Module):
 
     channels: int
     dropout: float = 0.1
+    zero_init: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -342,7 +349,7 @@ class TemporalConvBlock(nn.Module):
                 padding=((1, 1), (0, 0)),
                 dtype=self.dtype,
                 kernel_init=nn.initializers.zeros
-                if zero_init
+                if (zero_init and self.zero_init)
                 else nn.initializers.lecun_normal(),
                 name=name,
             )(xr)
@@ -406,6 +413,7 @@ class ResBlock(nn.Module):
     out_channels: Optional[int] = None
     use_temporal_conv: bool = True
     use_scale_shift_norm: bool = False
+    zero_init: bool = True  # VC2 zero-inits residual tails; diffusers doesn't
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -438,7 +446,9 @@ class ResBlock(nn.Module):
             kernel_size=(3, 3),
             padding=((1, 1), (1, 1)),
             dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.lecun_normal(),
             name="out_conv",
         )(h)
 

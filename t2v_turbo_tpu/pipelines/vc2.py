@@ -47,6 +47,7 @@ class T2VTurboVC2Pipeline:
     schedule: DiffusionSchedule
     scale_factor: float = 0.18215
     vae_scale: int = 8
+    w_embedding_dim: int = 256
     dtype: Any = jnp.bfloat16
 
     def __post_init__(self):
@@ -67,6 +68,18 @@ class T2VTurboVC2Pipeline:
         (reference pipeline:34-68 + condition.py:257-283)."""
         tokens = self.tokenizer(prompt)
         return self._encode_jit(self.text_params, jnp.asarray(tokens))
+
+    def _unet_call(self, unet_params, lat, tb, ctx, fps, w_emb, motion_cond):
+        """Denoiser invocation — overridden by backbone-specific pipelines."""
+        return self.unet.apply(
+            unet_params,
+            lat,
+            tb,
+            ctx,
+            fps=fps,
+            timestep_cond=w_emb,
+            motion_cond=motion_cond,
+        )
 
     # ------------------------------------------------------------------
     def _sample_fn(self, num_steps: int, lcm_origin_steps: int, use_motion_cond: bool, percentage: float):
@@ -92,16 +105,11 @@ class T2VTurboVC2Pipeline:
                 if use_motion_cond:
                     gs = jnp.where(t < thresh, 0.0, motion_gs)
                     motion_cond = guidance_scale_embedding(
-                        jnp.broadcast_to(gs, (lat.shape[0],)), 256
+                        jnp.broadcast_to(gs, (lat.shape[0],)),
+                        self.w_embedding_dim,
                     ).astype(self.dtype)
-                eps = self.unet.apply(
-                    unet_params,
-                    lat,
-                    tb,
-                    ctx,
-                    fps=fps,
-                    timestep_cond=w_emb,
-                    motion_cond=motion_cond,
+                eps = self._unet_call(
+                    unet_params, lat, tb, ctx, fps, w_emb, motion_cond
                 )
                 key, sub = jax.random.split(key)
                 noise = (
@@ -178,7 +186,7 @@ class T2VTurboVC2Pipeline:
         latents = latents * self.scheduler.init_noise_sigma
 
         w = jnp.full((bs,), guidance_scale, jnp.float32)
-        w_emb = guidance_scale_embedding(w, 256).astype(self.dtype)
+        w_emb = guidance_scale_embedding(w, self.w_embedding_dim).astype(self.dtype)
         fps_arr = jnp.full((bs,), float(fps))
 
         sample = self._sample_fn(

@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--config", default="configs/vc2_t2v_512.yaml")
     p.add_argument("--checkpoint", default=None, help="VideoCrafter2 model.ckpt")
     p.add_argument("--unet-ckpt", default=None, help="LCM student unet.pt (v2) or collapsed-LoRA weights")
+    p.add_argument("--lora-ckpt", default=None,
+                   help="cloneofsimo unet_lora.pt (v1); folded into the base UNet")
     p.add_argument("--random-weights", action="store_true",
                    help="run with random weights (smoke mode, no checkpoint)")
     p.add_argument("--steps", type=int, default=4)
@@ -78,6 +80,12 @@ def build_pipeline(args):
         if args.unet_ckpt:
             unet_sd = load_torch_state_dict(args.unet_ckpt)
         unet_params = {"params": import_unet_params(unet_sd, spec.unet)}
+        if args.lora_ckpt:
+            from ..io.lora_import import apply_lora_pt, load_lora_pt
+
+            unet_params = apply_lora_pt(
+                unet_params, load_lora_pt(args.lora_ckpt), spec.unet
+            )
         vae_params = {"params": import_vae_params(vae_sd)}
         text_params = {"params": import_clip_text_params(clip_sd)}
     elif args.random_weights:

@@ -161,6 +161,19 @@ class T2VTurboVC2Pipeline:
         Mirrors reference pipeline __call__:122-220: encode prompt, N(0,1)
         latents, w-embedding, LCM loop, per-frame VAE decode.
         """
+        # the UNet downsamples the latent 2^(levels-1)x; reject sizes that
+        # would break the skip concatenation deep in the net
+        cfg = self.unet.cfg
+        levels = len(
+            getattr(cfg, "channel_mult", None)
+            or getattr(cfg, "block_out_channels", (1, 2, 4, 4))
+        )
+        multiple = self.vae_scale * (2 ** (levels - 1))
+        if height % multiple or width % multiple:
+            raise ValueError(
+                f"height/width must be multiples of {multiple} "
+                f"(got {height}x{width})"
+            )
         if key is None:
             key = jax.random.PRNGKey(0)
         if prompt_embeds is None:

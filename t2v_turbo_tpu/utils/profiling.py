@@ -1,0 +1,102 @@
+"""Profiling & observability helpers.
+
+The reference had no profiling beyond wall-clock prints (SURVEY.md §5);
+here tracing is first-class:
+
+- `cost_summary`: XLA's own FLOP/byte analysis + measured wall time ->
+  TFLOP/s and GB/s against the roofline (the numbers used to drive the
+  HBM-bound analysis of the UNet step).
+- `trace`: context manager around jax.profiler for TensorBoard traces.
+- `step_timer`: lightweight per-step timing with forced device completion
+  (this platform's block_until_ready can return early; a tiny host transfer
+  is the only reliable fence).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Dict
+
+import jax
+import numpy as np
+
+# v5e single-chip peaks (bf16 MXU, HBM BW)
+V5E_PEAK_TFLOPS = 197.0
+V5E_PEAK_GBS = 820.0
+
+
+def force_completion(out) -> None:
+    """Reliable device fence: transfer one element of some array leaf."""
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ndim"):
+            idx = (0,) * leaf.ndim
+            np.asarray(leaf[idx])
+            return
+
+
+def cost_summary(fn: Callable, *args, iters: int = 5, **kw) -> Dict[str, Any]:
+    """Compile fn, pull XLA cost analysis, measure wall time, report
+    utilization. fn must be jittable."""
+    jitted = jax.jit(fn)
+    lowered = jitted.lower(*args, **kw)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+
+    out = jitted(*args, **kw)
+    force_completion(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jitted(*args, **kw)
+    force_completion(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    return {
+        "wall_ms": dt * 1e3,
+        "tflops": flops / 1e12,
+        "gb_accessed": bytes_accessed / 1e9,
+        "tflops_per_s": flops / dt / 1e12,
+        "gb_per_s": bytes_accessed / dt / 1e9,
+        "mxu_utilization": flops / dt / 1e12 / V5E_PEAK_TFLOPS,
+        "hbm_utilization": bytes_accessed / dt / 1e9 / V5E_PEAK_GBS,
+        "arithmetic_intensity": flops / max(bytes_accessed, 1.0),
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/t2v_tpu_trace"):
+    """jax.profiler trace for TensorBoard / xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class step_timer:
+    """Accumulates per-step wall times with a proper device fence."""
+
+    def __init__(self):
+        self.times = []
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, out=None):
+        if out is not None:
+            force_completion(out)
+        self.times.append(time.perf_counter() - self._t0)
+
+    def summary(self) -> Dict[str, float]:
+        a = np.asarray(self.times[1:] or self.times)  # drop compile step
+        return {
+            "mean_s": float(a.mean()),
+            "p50_s": float(np.percentile(a, 50)),
+            "p90_s": float(np.percentile(a, 90)),
+            "steps": len(self.times),
+        }

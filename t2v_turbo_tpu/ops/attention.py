@@ -5,10 +5,12 @@ flash-attn CUDA kernels (reference lvdm/modules/attention.py:96-97,206,220 and
 intern_vid2 flash_attention_class.py) with a TPU-native design:
 
 - `flash_attention`: tiled online-softmax Pallas kernel for the big-sequence
-  spatial self-attention (S = H·W up to a few thousand) and cross-attention
-  (S_k = 77) hot paths. bf16/f32 IO, f32 accumulation on the MXU, K-side
-  padding masks. Differentiable via a custom VJP whose backward recomputes
-  attention in blocked XLA (flash backward kernel is a later optimization).
+  spatial self-attention (S = H·W up to a few thousand) hot path. bf16/f32
+  IO, f32 accumulation on the MXU, K-side padding masks. The custom VJP is
+  also Pallas: the forward saves per-row log-sum-exp and the backward
+  recomputes probabilities blockwise (flash-attention backward — dK/dV with
+  sequential Q accumulation, dQ with sequential K), so training memory stays
+  O(S) instead of the O(S^2) an XLA recompute would materialize.
 - `attention_xla`: plain einsum attention with f32 softmax — the reference
   semantics (lvdm/modules/attention.py:102-164) — used for tiny temporal
   sequences (t ≤ 48, where a flash kernel buys nothing), for rel-pos bias /
@@ -77,6 +79,153 @@ def attention_xla(
 # ---------------------------------------------------------------------------
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel_lse(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, scale, kv_len, block_k
+):
+    """Forward that also emits the log-sum-exp rows (for the Pallas backward)."""
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * scale
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    m_ref[:] = m_next
+    l_ref[:] = l_next
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        # (8, block_q) sublane-replicated rows: TPU tiling needs the
+        # second-to-last block dim divisible by 8
+        lse_row = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[1:])
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale, kv_len, block_k
+):
+    """dK/dV: grid (bh, nk, nq); q innermost (sequential) accumulates."""
+    qb = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)  # (bq, d)
+    lse = lse_ref[0][0][:, None]  # (bq, 1)
+    delta = delta_ref[0][0][:, None]  # (bq, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * scale
+    kb_idx = pl.program_id(1)
+    col = kb_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)  # (bq, bk)
+
+    # dV += P^T g
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    # dP = g V^T ; dS = P * (dP - delta)
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    ds = p * (dp - delta)
+    # dK += dS^T q * scale
+    dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    @pl.when(qb == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+    *, scale, kv_len, block_k
+):
+    """dQ: grid (bh, nq, nk); k innermost (sequential) accumulates."""
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][0][:, None]
+    delta = delta_ref[0][0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * scale
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    ds = p * (dp - delta)
+    dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
 def _flash_fwd_kernel(
@@ -197,6 +346,157 @@ def _flash_attention_fwd_impl(
     return out.reshape(b, h, sq_p, d)[:, :, :sq, :]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_attention_fwd_lse_impl(
+    q, k, v, *, scale, block_q=512, block_k=512, interpret=False
+):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, _ceil_to(sq, 128))
+    block_k = min(block_k, _ceil_to(sk, 128))
+    sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    bh = b * h
+    qr, kr, vr = (t.reshape(bh, -1, d) for t in (q, k, v))
+    grid = (bh, sq_p // block_q, sk_p // block_k)
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_kernel_lse, scale=scale, kv_len=sk, block_k=block_k
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda g, i, j: (g, 0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, sq_p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qr, kr, vr)
+    return (
+        o.reshape(b, h, sq_p, d)[:, :, :sq],
+        lse[:, 0].reshape(b, h, sq_p)[:, :, :sq],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_attention_bwd_impl(
+    q, k, v, o, lse, g, *, scale, block_q=512, block_k=512, interpret=False
+):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, _ceil_to(sq, 128))
+    block_k = min(block_k, _ceil_to(sk, 128))
+    sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
+
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (b, h, sq)
+    if sq_p != sq:
+        pad_q = ((0, 0), (0, 0), (0, sq_p - sq), (0, 0))
+        q = jnp.pad(q, pad_q)
+        g = jnp.pad(g, pad_q)
+        # padded q rows: make exp(s - lse) = 0 via lse = +inf would produce
+        # nan in exp(-inf - inf); use a large finite lse so p ~ 0
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)),
+                      constant_values=1e9)
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
+    if sk_p != sk:
+        pad_k = ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))
+        k = jnp.pad(k, pad_k)
+        v = jnp.pad(v, pad_k)
+
+    bh = b * h
+    qr, kr, vr, gr = (t.reshape(bh, -1, d) for t in (q, k, v, g))
+    lser = jnp.broadcast_to(lse.reshape(bh, 1, -1), (bh, 8, sq_p))
+    deltar = jnp.broadcast_to(delta.reshape(bh, 1, -1), (bh, 8, sq_p))
+
+    # dK/dV: grid (bh, nk, nq), q sequential
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, kv_len=sk, block_k=block_k
+        ),
+        grid=(bh, sk_p // block_k, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g_, j, i: (g_, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda g_, j, i: (g_, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda g_, j, i: (g_, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda g_, j, i: (g_, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sk_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, d), q.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qr, kr, vr, gr, lser, deltar)
+
+    # dQ: grid (bh, nq, nk), k sequential
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, kv_len=sk, block_k=block_k
+        ),
+        grid=(bh, sq_p // block_q, sk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda g_, i, j: (g_, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda g_, i, j: (g_, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda g_, i, j: (g_, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qr, kr, vr, gr, lser, deltar)
+
+    return (
+        dq.reshape(b, h, sq_p, d)[:, :, :sq],
+        dk.reshape(b, h, sk_p, d)[:, :, :sk],
+        dv.reshape(b, h, sk_p, d)[:, :, :sk],
+    )
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -224,19 +524,21 @@ def flash_attention(q, k, v, scale=None, block_q=512, block_k=512):
 
 
 def _flash_fwd_rule(q, k, v, scale, block_q, block_k):
-    out = flash_attention(q, k, v, scale, block_q, block_k)
-    return out, (q, k, v)
+    s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    out, lse = _flash_attention_fwd_lse_impl(
+        q, k, v, scale=s, block_q=block_q, block_k=block_k,
+        interpret=not _on_tpu(),
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd_rule(scale, block_q, block_k, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
     s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
-
-    def ref(q, k, v):
-        return attention_xla(q, k, v, scale=s)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    return _flash_attention_bwd_impl(
+        q, k, v, out, lse, g, scale=s, block_q=block_q, block_k=block_k,
+        interpret=not _on_tpu(),
+    )
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -547,3 +547,80 @@ def import_ms_unet_params(sd: StateDict, layers_per_block: int = 2,
         if i < n_levels - 1:
             p[f"up_{i}_upsample"] = {"conv": _conv2d(sd, f"{bp}.upsamplers.0.conv")}
     return p
+
+
+# --------------------------------------------------------------------------
+# HF-transformers CLIPModel layout (PickScore_v1 and other HF CLIP weights)
+# --------------------------------------------------------------------------
+
+
+def _hf_clip_block(sd, rp):
+    """HF CLIPEncoderLayer -> packed-QKV ViT/text block params."""
+    qw, kw, vw = (sd[f"{rp}.self_attn.{n}.weight"] for n in ("q_proj", "k_proj", "v_proj"))
+    qb, kb, vb = (sd[f"{rp}.self_attn.{n}.bias"] for n in ("q_proj", "k_proj", "v_proj"))
+    return {
+        "ln_1": {"scale": sd[f"{rp}.layer_norm1.weight"], "bias": sd[f"{rp}.layer_norm1.bias"]},
+        "ln_2": {"scale": sd[f"{rp}.layer_norm2.weight"], "bias": sd[f"{rp}.layer_norm2.bias"]},
+        "in_proj": {
+            "kernel": np.ascontiguousarray(np.concatenate([qw, kw, vw], axis=0).T),
+            "bias": np.concatenate([qb, kb, vb]),
+        },
+        "out_proj": _lin(sd, f"{rp}.self_attn.out_proj"),
+        "c_fc": _lin(sd, f"{rp}.mlp.fc1"),
+        "c_proj": _lin(sd, f"{rp}.mlp.fc2"),
+    }
+
+
+def _hf_count_layers(sd, prefix):
+    n = 0
+    while f"{prefix}.{n}.layer_norm1.weight" in sd:
+        n += 1
+    return n
+
+
+def import_hf_clip_params(sd: StateDict) -> Dict:
+    """HF CLIPModel state dict (text_model.* / vision_model.*) ->
+    {'visual': VisionTransformer params, 'text': CLIPTextPooled params,
+    'logit_scale': float} — the PickScore_v1 layout
+    (reference reward_fn/reward_fn.py:30-69 loads it via AutoModel)."""
+    tprefix = "text_model."
+    n_text = _hf_count_layers(sd, f"{tprefix}encoder.layers")
+    tower: Dict = {
+        "token_embedding": sd[f"{tprefix}embeddings.token_embedding.weight"],
+        "positional_embedding": sd[f"{tprefix}embeddings.position_embedding.weight"],
+        "ln_final": {
+            "scale": sd[f"{tprefix}final_layer_norm.weight"],
+            "bias": sd[f"{tprefix}final_layer_norm.bias"],
+        },
+    }
+    for i in range(n_text):
+        tower[f"resblocks_{i}"] = _hf_clip_block(sd, f"{tprefix}encoder.layers.{i}")
+    text = {
+        "tower": tower,
+        "text_projection": np.ascontiguousarray(sd["text_projection.weight"].T),
+    }
+
+    vprefix = "vision_model."
+    n_vis = _hf_count_layers(sd, f"{vprefix}encoder.layers")
+    w = sd[f"{vprefix}embeddings.patch_embedding.weight"]  # (O, 3, P, P)
+    visual: Dict = {
+        "conv1": {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))},
+        "class_embedding": sd[f"{vprefix}embeddings.class_embedding"],
+        "positional_embedding": sd[f"{vprefix}embeddings.position_embedding.weight"],
+        "ln_pre": {
+            "scale": sd[f"{vprefix}pre_layrnorm.weight"],
+            "bias": sd[f"{vprefix}pre_layrnorm.bias"],
+        },
+        "ln_post": {
+            "scale": sd[f"{vprefix}post_layernorm.weight"],
+            "bias": sd[f"{vprefix}post_layernorm.bias"],
+        },
+        "proj": np.ascontiguousarray(sd["visual_projection.weight"].T),
+    }
+    for i in range(n_vis):
+        visual[f"resblocks_{i}"] = _hf_clip_block(sd, f"{vprefix}encoder.layers.{i}")
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": float(np.asarray(sd["logit_scale"])),
+    }

@@ -51,6 +51,22 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=453645634)
     p.add_argument("--seq-shards", type=int, default=1,
                    help="mesh seq axis size (temporal sharding)")
+    # reward feedback (reference --reward_fn_name/--video_rm_name etc.)
+    p.add_argument("--reward-fn", default="none",
+                   choices=["none", "clip", "hpsv2", "pick"])
+    p.add_argument("--reward-ckpt", default=None,
+                   help="open_clip/HF checkpoint for the image reward tower")
+    p.add_argument("--reward-scale", type=float, default=1.0)
+    p.add_argument("--reward-frames", type=int, default=5,
+                   help="random frames scored per sample")
+    p.add_argument("--reward-fraction", type=float, default=0.75,
+                   help="fraction of each batch carrying the image-reward "
+                        "loss (role-as-data mask)")
+    p.add_argument("--video-rm-fn", default="none", choices=["none", "vi_clip"])
+    p.add_argument("--video-rm-ckpt", default=None)
+    p.add_argument("--video-reward-scale", type=float, default=1.0)
+    p.add_argument("--video-rm-frames", type=int, default=8)
+    p.add_argument("--video-rm-fraction", type=float, default=0.25)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args(argv)
 
@@ -135,6 +151,91 @@ def main(argv=None):
                                ddim_timesteps=args.num_ddim_timesteps)
     mesh = make_mesh(seq=args.seq_shards)
 
+    # optional differentiable reward feedback
+    reward_fn = video_reward_fn = None
+    reward_models = {}
+    if args.reward_fn != "none" or args.video_rm_fn != "none":
+        from ..models.vae import AutoencoderKL, VAEConfig
+        from ..training.reward_adapters import (
+            make_image_reward_fn,
+            make_video_reward_fn,
+        )
+
+        if spec is not None and args.checkpoint:
+            from ..io.torch_import import (
+                import_vae_params,
+                load_torch_state_dict,
+                split_vc2_checkpoint,
+            )
+
+            _, vae_sd, _ = split_vc2_checkpoint(load_torch_state_dict(args.checkpoint))
+            rvae = AutoencoderKL(cfg=spec.vae, dtype=jnp.bfloat16)
+            rvae_params = {"params": import_vae_params(vae_sd)}
+        else:
+            rvae = AutoencoderKL(
+                cfg=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+                if args.tiny_model else VAEConfig()
+            )
+            rvae_params = rvae.init(
+                jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3))
+            )
+        tiny_kw = {}
+        if args.tiny_model:
+            from ..models.clip_text import CLIPTextConfig
+            from ..rewards.vit import VideoViTConfig, ViTConfig
+
+            tiny_kw = dict(
+                vit_cfg=ViTConfig(image_size=28, patch_size=14, width=32,
+                                  layers=2, heads=4, output_dim=16),
+                text_cfg=CLIPTextConfig(vocab_size=49408, width=32, heads=4,
+                                        layers=2, context_length=77,
+                                        penultimate=False),
+            )
+        if args.reward_fn != "none":
+            from ..rewards.reward_fn import build_image_reward_model
+
+            weights = None
+            if args.reward_ckpt:
+                from ..io.torch_import import (
+                    import_hf_clip_params,
+                    import_openclip_params,
+                    load_torch_state_dict,
+                )
+
+                sd = load_torch_state_dict(args.reward_ckpt)
+                weights = (
+                    import_hf_clip_params(sd)
+                    if any(k.startswith("text_model.") for k in sd)
+                    else import_openclip_params(sd)
+                )
+            rm = build_image_reward_model(weights=weights, **tiny_kw)
+            reward_models["image"] = rm
+            reward_fn = make_image_reward_fn(rvae, rvae_params, rm)
+        if args.video_rm_fn != "none":
+            from ..rewards.reward_fn import build_video_reward_model
+
+            weights = None
+            if args.video_rm_ckpt:
+                from ..io.torch_import import (
+                    import_viclip_params,
+                    load_torch_state_dict,
+                )
+
+                weights = import_viclip_params(load_torch_state_dict(args.video_rm_ckpt))
+            vtiny = {}
+            if args.tiny_model:
+                from ..rewards.vit import VideoViTConfig
+
+                vtiny = dict(
+                    vit_cfg=VideoViTConfig(image_size=28, patch_size=14,
+                                           width=32, layers=2, heads=4,
+                                           output_dim=16, num_frames=8),
+                    text_cfg=tiny_kw["text_cfg"],
+                )
+            vrm = build_video_reward_model(weights=weights, **vtiny)
+            reward_models["video"] = vrm
+            video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm)
+
     trainer = LCDTrainer(
         student_apply=lambda p, z, t, c, fps=None, timestep_cond=None: student.apply(
             p, z, t, c, fps=fps, timestep_cond=timestep_cond
@@ -151,7 +252,11 @@ def main(argv=None):
             w_embedding_dim=wdim,
             loss_type=args.loss_type,
             huber_c=args.huber_c,
+            reward_scale=args.reward_scale,
+            video_reward_scale=args.video_reward_scale,
         ),
+        reward_fn=reward_fn,
+        video_reward_fn=video_reward_fn,
         optimizer=make_optimizer(args.optimizer, args.learning_rate),
         cfg=TrainerConfig(
             output_dir=args.output_dir,
@@ -167,6 +272,11 @@ def main(argv=None):
     )
 
     data = make_data_iter(args, ctx_dim, lat_hw, frames_eff, b, spec)
+    if reward_fn is not None or video_reward_fn is not None:
+        data = add_reward_fields(
+            data, args, frames_eff, b,
+            reward_models.get("image"), reward_models.get("video"),
+        )
     metrics = trainer.run(data)
     print(f"final metrics: {metrics}")
     # export inference-ready merged weights
@@ -175,6 +285,37 @@ def main(argv=None):
     if trainer.cfg.lora_rank:
         save_lora_npz(f"{args.output_dir}/unet_lora.npz", trainer.state["trainable"])
         print(f"{args.output_dir}/unet_lora.npz")
+
+
+def add_reward_fields(base_iter, args, frames, b, image_rm, video_rm):
+    """Augment batches with frame indices, text features, and role masks
+    (the SPMD replacement for the reference's rank-role partitioning)."""
+    import numpy as np
+
+    from ..training.reward_adapters import sample_frame_indices
+
+    rng = np.random.RandomState(args.seed % (2**31 - 1))
+    n_img = max(1, int(round(args.reward_fraction * b)))
+    n_vid = max(1, int(round(args.video_rm_fraction * b)))
+    for batch in base_iter:
+        texts = batch.pop("_texts", [""] * b)
+        if image_rm is not None:
+            batch["reward_frame_idx"] = sample_frame_indices(
+                rng, b, frames, min(args.reward_frames, frames)
+            )
+            batch["reward_text_feats"] = np.asarray(image_rm.encode_texts(texts))
+            mask = np.zeros((b,), np.float32)
+            mask[:n_img] = 1.0
+            batch["reward_mask"] = mask
+        if video_rm is not None:
+            batch["video_frame_idx"] = sample_frame_indices(
+                rng, b, frames, min(args.video_rm_frames, frames), strided=True
+            )
+            batch["video_text_feats"] = np.asarray(video_rm.encode_texts(texts))
+            mask = np.zeros((b,), np.float32)
+            mask[b - n_vid:] = 1.0
+            batch["video_reward_mask"] = mask
+        yield batch
 
 
 def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
@@ -190,6 +331,7 @@ def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
                     "ctx": rng.randn(b, 7 if args.tiny_model else 77, ctx_dim).astype(np.float32),
                     "uncond_ctx": np.zeros((b, 7 if args.tiny_model else 77, ctx_dim), np.float32),
                     "fps": np.full((b,), float(args.fps), np.float32),
+                    "_texts": ["synthetic sample"] * b,
                 }
 
         return it()
@@ -261,6 +403,7 @@ def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
                 "ctx": ctx,
                 "uncond_ctx": np.repeat(uncond, bb, 0),
                 "fps": np.full((bb,), float(args.fps), np.float32),
+                "_texts": list(batch["txt"]),
             }
 
     return it()

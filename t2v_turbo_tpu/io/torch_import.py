@@ -624,3 +624,79 @@ def import_hf_clip_params(sd: StateDict) -> Dict:
         "text": text,
         "logit_scale": float(np.asarray(sd["logit_scale"])),
     }
+
+
+# --------------------------------------------------------------------------
+# ImageReward-v1.0 (BLIP ViT-L/16 timm-layout + med-BERT + MLP head) —
+# the external package the reference's img_reward loads
+# (reference reward_fn/reward_fn.py:128-174)
+# --------------------------------------------------------------------------
+
+
+def import_image_reward_params(sd: StateDict) -> Dict:
+    """ImageReward .pt state dict -> {'vit', 'bert', 'head'} params."""
+    vp = "blip.visual_encoder."
+    vit: Dict = {
+        "patch_embedding": _conv2d(sd, f"{vp}patch_embed.proj"),
+        "class_embedding": sd[f"{vp}cls_token"],
+        "position_embedding": sd[f"{vp}pos_embed"],
+        "post_layernorm": _norm(sd, f"{vp}norm"),
+    }
+    i = 0
+    while f"{vp}blocks.{i}.norm1.weight" in sd:
+        bp = f"{vp}blocks.{i}"
+        vit[f"layers_{i}"] = {
+            "layer_norm1": _norm(sd, f"{bp}.norm1"),
+            "layer_norm2": _norm(sd, f"{bp}.norm2"),
+            "qkv": _lin(sd, f"{bp}.attn.qkv"),
+            "projection": _lin(sd, f"{bp}.attn.proj"),
+            "fc1": _lin(sd, f"{bp}.mlp.fc1"),
+            "fc2": _lin(sd, f"{bp}.mlp.fc2"),
+        }
+        i += 1
+
+    tp = "blip.text_encoder.bert."
+    bert: Dict = {
+        "word_embeddings": sd[f"{tp}embeddings.word_embeddings.weight"],
+        "position_embeddings": sd[f"{tp}embeddings.position_embeddings.weight"],
+        "token_type_embeddings": sd[f"{tp}embeddings.token_type_embeddings.weight"],
+        "emb_norm": _norm(sd, f"{tp}embeddings.LayerNorm"),
+    }
+
+    def _bert_attn(prefix):
+        return {
+            "query": _lin(sd, f"{prefix}.self.query"),
+            "key": _lin(sd, f"{prefix}.self.key"),
+            "value": _lin(sd, f"{prefix}.self.value"),
+            "output": {
+                "dense": _lin(sd, f"{prefix}.output.dense"),
+                "norm": _norm(sd, f"{prefix}.output.LayerNorm"),
+            },
+        }
+
+    j = 0
+    while f"{tp}encoder.layer.{j}.attention.self.query.weight" in sd:
+        lp = f"{tp}encoder.layer.{j}"
+        layer = {
+            "attention": _bert_attn(f"{lp}.attention"),
+            "intermediate": _lin(sd, f"{lp}.intermediate.dense"),
+            "out_dense": _lin(sd, f"{lp}.output.dense"),
+            "out_norm": _norm(sd, f"{lp}.output.LayerNorm"),
+        }
+        if f"{lp}.crossattention.self.query.weight" in sd:
+            layer["crossattention"] = _bert_attn(f"{lp}.crossattention")
+        bert[f"layer_{j}"] = layer
+        j += 1
+
+    # MLP head: mlp.layers.{idx}.weight in ascending Sequential index order
+    head = []
+    idxs = sorted(
+        int(k.split(".")[2]) for k in sd
+        if k.startswith("mlp.layers.") and k.endswith(".weight")
+    )
+    for idx in idxs:
+        head.append({
+            "kernel": np.ascontiguousarray(sd[f"mlp.layers.{idx}.weight"].T),
+            "bias": sd.get(f"mlp.layers.{idx}.bias", np.zeros(sd[f"mlp.layers.{idx}.weight"].shape[0], np.float32)),
+        })
+    return {"vit": vit, "bert": bert, "head": head}

@@ -235,9 +235,13 @@ def get_reward_fn(name: str, weights: Optional[dict] = None, **kw) -> Callable:
         return score
     if name == "vi_clip":
         return build_video_reward_model(weights=weights, **kw)
-    if name in ("img_reward", "vi_clip2"):
+    if name == "img_reward":
+        from .blip import build_image_reward_blip
+
+        return build_image_reward_blip(weights=weights, **kw)
+    if name == "vi_clip2":
         raise NotImplementedError(
-            f"{name}: BLIP/InternVideo2 reward towers land in a later round; "
-            "use clip/hpsv2/pick/vi_clip"
+            "vi_clip2: the InternVideo2-Stage2-1B tower lands in a later "
+            "round; use vi_clip (ViCLIP) for video rewards"
         )
     raise ValueError(f"unknown reward fn {name!r}")

@@ -181,6 +181,8 @@ class LCDTrainer:
         return row
 
     def shard_batch(self, batch):
+        # host-only fields (raw texts etc.) are prefixed with "_"
+        batch = {k: v for k, v in batch.items() if not k.startswith("_")}
         sh_bt = NamedSharding(self.mesh, P("data", "seq"))
         sh_b = NamedSharding(self.mesh, P("data"))
 
@@ -195,27 +197,50 @@ class LCDTrainer:
         return jax.tree.map(put, batch)
 
     # ------------------------------------------------------------------
-    def run(self, data_iter: Iterator[dict], max_steps: Optional[int] = None):
-        """Main loop: resume, iterate sharded steps, checkpoint, log."""
+    def run(
+        self,
+        data_iter: Iterator[dict],
+        max_steps: Optional[int] = None,
+        validation_fn: Optional[Callable] = None,
+        validation_every: int = 500,
+    ):
+        """Main loop: resume, iterate sharded steps, checkpoint, log.
+
+        validation_fn(step, merged_params) runs every `validation_every`
+        steps (the reference's periodic validation-video rendering,
+        train_t2v_turbo_v1_lora.py:1243-1254). A heartbeat file is kept
+        fresh in output_dir and SIGTERM/SIGINT trigger a final checkpoint
+        (graceful preemption — absent in the reference, SURVEY.md §5).
+        """
+        from .watchdog import GracefulShutdown, Heartbeat
+
         cfg = self.cfg
         start = self.resume_if_available()
         max_steps = max_steps or cfg.max_steps
         key = jax.random.PRNGKey(cfg.seed + 1)
         last_metrics = {}
-        with self.mesh:
+        last_step = start
+        hb_path = os.path.join(cfg.output_dir, "heartbeat.json")
+        with self.mesh, Heartbeat(hb_path) as hb, GracefulShutdown() as stop:
             for step in range(start, max_steps):
+                if stop.requested:
+                    break
                 batch = self.shard_batch(next(data_iter))
                 key, sub = jax.random.split(key)
                 t0 = time.perf_counter()
                 self.state, metrics = self._step_jit(self.state, batch, sub)
-                if (step + 1) % cfg.log_every == 0 or step == start:
+                last_step = step + 1
+                hb.update(last_step)
+                if last_step % cfg.log_every == 0 or step == start:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     dt = time.perf_counter() - t0
-                    last_metrics = self._log(step + 1, metrics, dt)
-                if (step + 1) % cfg.checkpoint_every == 0:
-                    self.save(step + 1)
-        if max_steps % cfg.checkpoint_every != 0:
-            self.save(max_steps)
+                    last_metrics = self._log(last_step, metrics, dt)
+                if last_step % cfg.checkpoint_every == 0:
+                    self.save(last_step)
+                if validation_fn is not None and last_step % validation_every == 0:
+                    validation_fn(last_step, self.export_student_params())
+        if last_step % cfg.checkpoint_every != 0:
+            self.save(last_step)
         return last_metrics
 
     # ------------------------------------------------------------------

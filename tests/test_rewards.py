@@ -129,7 +129,19 @@ class TestFactory:
             "clip", vit_cfg=TINY_VIT, text_cfg=TINY_TEXT, tokenizer=FakeTok()
         )
         assert rm is not None
+        from t2v_turbo_tpu.rewards.blip import BertConfig, BlipViTConfig
+
+        ir = get_reward_fn(
+            "img_reward",
+            vit_cfg=BlipViTConfig(image_size=32, patch_size=16, width=32,
+                                  layers=1, heads=4),
+            bert_cfg=BertConfig(vocab_size=60, hidden=24, layers=1, heads=4,
+                                intermediate=48, max_position=16,
+                                encoder_width=32),
+            head_dims=(8, 1),
+        )
+        assert ir is not None
         with pytest.raises(NotImplementedError):
-            get_reward_fn("img_reward")
+            get_reward_fn("vi_clip2")
         with pytest.raises(ValueError):
             get_reward_fn("nope")

@@ -1,0 +1,182 @@
+"""Trainer auxiliary subsystems: reward adapters inside the LCD loss,
+heartbeat/graceful-shutdown, validation logging."""
+
+import json
+import os
+import signal
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
+from t2v_turbo_tpu.models import UNetConfig, UNetModel
+from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig
+from t2v_turbo_tpu.training.lcd import LCDConfig, lcd_loss
+from t2v_turbo_tpu.training.reward_adapters import (
+    make_image_reward_fn,
+    make_video_reward_fn,
+    sample_frame_indices,
+)
+from t2v_turbo_tpu.training.watchdog import GracefulShutdown, Heartbeat
+
+
+class FakeRewardModel:
+    """Differentiable stand-in: reward = mean pixel * <feat, 1>."""
+
+    def score(self, imgs, feats):
+        per = imgs.reshape(imgs.shape[0], -1).mean(axis=1)
+        return per * feats.sum(axis=-1)
+
+    # video variant uses (B, T, H, W, 3)
+    def video_score(self, vids, feats):
+        per = vids.reshape(vids.shape[0], -1).mean(axis=1)
+        return per * feats.sum(axis=-1)
+
+
+class TestRewardAdapters:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        ucfg = UNetConfig(
+            model_channels=32, num_res_blocks=1, attention_resolutions=(2, 1),
+            channel_mult=(1, 2), num_head_channels=16, context_dim=16,
+            temporal_length=4, time_cond_proj_dim=8,
+        )
+        unet = UNetModel(cfg=ucfg)
+        x = jnp.zeros((2, 4, 8, 8, 4))
+        ctx = jnp.zeros((2, 7, 16))
+        up = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32), ctx,
+                       timestep_cond=jnp.zeros((2, 8)))
+        up = jax.tree.map(
+            lambda p: p + 0.01 * np.random.RandomState(0).randn(*p.shape).astype(p.dtype), up
+        )
+        vae = AutoencoderKL(cfg=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1))
+        vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+        sched = DiffusionSchedule.create()
+        solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+        return unet, up, vae, vp, sched, solver
+
+    def test_rewarded_loss_and_masking(self, setup):
+        unet, up, vae, vp, sched, solver = setup
+        rng = np.random.RandomState(0)
+        b, t = 2, 4
+        batch = {
+            "latents": jnp.asarray(rng.randn(b, t, 8, 8, 4).astype(np.float32)),
+            "ctx": jnp.asarray(rng.randn(b, 7, 16).astype(np.float32)),
+            "uncond_ctx": jnp.zeros((b, 7, 16)),
+            "reward_frame_idx": jnp.asarray(sample_frame_indices(rng, b, t, 2)),
+            "reward_text_feats": jnp.ones((b, 3)),
+            "video_frame_idx": jnp.asarray(
+                sample_frame_indices(rng, b, t, 2, strided=True)
+            ),
+            "video_text_feats": jnp.ones((b, 3)),
+            "reward_mask": jnp.asarray([1.0, 0.0]),  # role-as-data
+            "video_reward_mask": jnp.asarray([0.0, 1.0]),
+        }
+        rm = FakeRewardModel()
+        img_fn = make_image_reward_fn(vae, vp, rm)
+
+        class VRM:
+            def score(self, vids, feats):
+                return rm.video_score(vids, feats)
+
+        vid_fn = make_video_reward_fn(vae, vp, VRM())
+
+        def apply(p, z, ts, c, fps=None, timestep_cond=None):
+            return unet.apply(p, z, ts, c, timestep_cond=timestep_cond)
+
+        def loss_fn(p):
+            return lcd_loss(
+                p, batch, jax.random.PRNGKey(0),
+                student_apply=apply,
+                teacher_apply=lambda p_, z, ts, c, fps=None: apply(p_, z, ts, c, timestep_cond=jnp.zeros((z.shape[0], 8))),
+                teacher_params=up, sched=sched, solver=solver,
+                cfg=LCDConfig(w_embedding_dim=8, reward_scale=0.5,
+                              video_reward_scale=0.2),
+                reward_fn=img_fn, video_reward_fn=vid_fn,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(up)
+        assert np.isfinite(float(loss))
+        assert "reward_loss" in metrics and "video_rm_loss" in metrics
+        gn = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+        assert gn > 0
+
+    def test_frame_sampling(self):
+        rng = np.random.RandomState(1)
+        idx = sample_frame_indices(rng, 4, 16, 5)
+        assert idx.shape == (4, 5) and idx.max() < 16
+        # no duplicate frames per sample for permutation mode
+        for row in idx:
+            assert len(set(row.tolist())) == 5
+        strided = sample_frame_indices(rng, 2, 16, 4, strided=True)
+        d = np.diff(strided, axis=1)
+        assert (d == 4).all()  # stride 16//4
+
+
+class TestWatchdog:
+    def test_heartbeat_writes_and_stall_detection(self, tmp_path):
+        path = str(tmp_path / "hb.json")
+        with Heartbeat(path, interval_s=0.05) as hb:
+            hb.update(7)
+            time.sleep(0.2)
+        data = json.load(open(path))
+        assert data["step"] == 7
+        assert not Heartbeat.is_stalled(path, max_age_s=60)
+        assert Heartbeat.is_stalled(str(tmp_path / "missing.json"))
+
+    def test_graceful_shutdown_flag(self):
+        with GracefulShutdown(signals=(signal.SIGUSR1,)) as stop:
+            assert not stop.requested
+            os.kill(os.getpid(), signal.SIGUSR1)
+            time.sleep(0.05)
+            assert stop.requested
+
+
+class TestValidationLogger:
+    def test_renders_and_indexes(self, tmp_path):
+        from t2v_turbo_tpu.diffusion import DiffusionSchedule
+        from t2v_turbo_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from t2v_turbo_tpu.pipelines.vc2 import T2VTurboVC2Pipeline
+        from t2v_turbo_tpu.training.validation import make_validation_logger
+
+        ucfg = UNetConfig(
+            model_channels=32, num_res_blocks=1, attention_resolutions=(2, 1),
+            channel_mult=(1, 2), num_head_channels=16, context_dim=16,
+            temporal_length=4, time_cond_proj_dim=8,
+        )
+        unet = UNetModel(cfg=ucfg)
+        up = unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 4, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 16)),
+            timestep_cond=jnp.zeros((1, 8)),
+        )
+        vae = AutoencoderKL(cfg=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1))
+        vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+        text = CLIPTextModel(cfg=CLIPTextConfig(
+            vocab_size=50, width=16, heads=2, layers=2, context_length=8))
+        tp = text.init(jax.random.PRNGKey(2), jnp.zeros((1, 8), jnp.int32))
+
+        class Tok:
+            def __call__(self, p):
+                p = [p] if isinstance(p, str) else p
+                return np.ones((len(p), 8), np.int32)
+
+        pipe = T2VTurboVC2Pipeline(
+            unet=unet, unet_params=up, vae=vae, vae_params=vp,
+            text_model=text, text_params=tp, tokenizer=Tok(),
+            schedule=DiffusionSchedule.create(), vae_scale=2,
+            w_embedding_dim=8, dtype=jnp.float32,
+        )
+        fn = make_validation_logger(
+            pipe, str(tmp_path), step_counts=(2,), frames=4, height=8, width=8,
+            max_prompts=2,
+        )
+        fn(100, up)
+        idx_path = tmp_path / "validation" / "index.jsonl"
+        rows = [json.loads(l) for l in open(idx_path)]
+        assert len(rows) == 2
+        assert all(os.path.exists(r["path"]) for r in rows)
+        assert rows[0]["step"] == 100

@@ -633,29 +633,9 @@ def import_hf_clip_params(sd: StateDict) -> Dict:
 # --------------------------------------------------------------------------
 
 
-def import_image_reward_params(sd: StateDict) -> Dict:
-    """ImageReward .pt state dict -> {'vit', 'bert', 'head'} params."""
-    vp = "blip.visual_encoder."
-    vit: Dict = {
-        "patch_embedding": _conv2d(sd, f"{vp}patch_embed.proj"),
-        "class_embedding": sd[f"{vp}cls_token"],
-        "position_embedding": sd[f"{vp}pos_embed"],
-        "post_layernorm": _norm(sd, f"{vp}norm"),
-    }
-    i = 0
-    while f"{vp}blocks.{i}.norm1.weight" in sd:
-        bp = f"{vp}blocks.{i}"
-        vit[f"layers_{i}"] = {
-            "layer_norm1": _norm(sd, f"{bp}.norm1"),
-            "layer_norm2": _norm(sd, f"{bp}.norm2"),
-            "qkv": _lin(sd, f"{bp}.attn.qkv"),
-            "projection": _lin(sd, f"{bp}.attn.proj"),
-            "fc1": _lin(sd, f"{bp}.mlp.fc1"),
-            "fc2": _lin(sd, f"{bp}.mlp.fc2"),
-        }
-        i += 1
-
-    tp = "blip.text_encoder.bert."
+def _import_med_bert(sd: StateDict, tp: str) -> Dict:
+    """med-style BERT (BLIP / InternVideo2 text towers): embeddings +
+    post-LN layers with optional per-layer cross-attention."""
     bert: Dict = {
         "word_embeddings": sd[f"{tp}embeddings.word_embeddings.weight"],
         "position_embeddings": sd[f"{tp}embeddings.position_embeddings.weight"],
@@ -687,6 +667,32 @@ def import_image_reward_params(sd: StateDict) -> Dict:
             layer["crossattention"] = _bert_attn(f"{lp}.crossattention")
         bert[f"layer_{j}"] = layer
         j += 1
+    return bert
+
+
+def import_image_reward_params(sd: StateDict) -> Dict:
+    """ImageReward .pt state dict -> {'vit', 'bert', 'head'} params."""
+    vp = "blip.visual_encoder."
+    vit: Dict = {
+        "patch_embedding": _conv2d(sd, f"{vp}patch_embed.proj"),
+        "class_embedding": sd[f"{vp}cls_token"],
+        "position_embedding": sd[f"{vp}pos_embed"],
+        "post_layernorm": _norm(sd, f"{vp}norm"),
+    }
+    i = 0
+    while f"{vp}blocks.{i}.norm1.weight" in sd:
+        bp = f"{vp}blocks.{i}"
+        vit[f"layers_{i}"] = {
+            "layer_norm1": _norm(sd, f"{bp}.norm1"),
+            "layer_norm2": _norm(sd, f"{bp}.norm2"),
+            "qkv": _lin(sd, f"{bp}.attn.qkv"),
+            "projection": _lin(sd, f"{bp}.attn.proj"),
+            "fc1": _lin(sd, f"{bp}.mlp.fc1"),
+            "fc2": _lin(sd, f"{bp}.mlp.fc2"),
+        }
+        i += 1
+
+    bert = _import_med_bert(sd, "blip.text_encoder.bert.")
 
     # MLP head: mlp.layers.{idx}.weight in ascending Sequential index order
     head = []
@@ -700,3 +706,89 @@ def import_image_reward_params(sd: StateDict) -> Dict:
             "bias": sd.get(f"mlp.layers.{idx}.bias", np.zeros(sd[f"mlp.layers.{idx}.weight"].shape[0], np.float32)),
         })
     return {"vit": vit, "bert": bert, "head": head}
+
+
+# --------------------------------------------------------------------------
+# InternVideo2-Stage2 (vi_clip2) — reference intern_vid2/demo_utils.py:152-361
+# --------------------------------------------------------------------------
+
+
+def _rms(sd, prefix):
+    return {"weight": sd[f"{prefix}.weight"]}
+
+
+def import_internvideo2_params(sd: StateDict) -> Dict:
+    """InternVideo2-Stage2 checkpoint -> reward-model params:
+    vision_encoder.* (ViT-g blocks + clip_projector), text_encoder.bert.*
+    (BERT-large), vision_proj / text_proj heads."""
+    vp = "vision_encoder."
+    vision: Dict = {
+        "patch_proj": _conv2d_or_tubelet(sd, f"{vp}patch_embed.proj"),
+        "cls_token": sd[f"{vp}cls_token"],
+        "pos_embed": sd[f"{vp}pos_embed"],
+    }
+    i = 0
+    while f"{vp}blocks.{i}.norm1.weight" in sd:
+        bp = f"{vp}blocks.{i}"
+        vision[f"blocks_{i}"] = {
+            "norm1": _rms(sd, f"{bp}.norm1"),
+            "norm2": _rms(sd, f"{bp}.norm2"),
+            "qkv": _lin(sd, f"{bp}.attn.qkv", bias=False),
+            "q_norm": _rms(sd, f"{bp}.attn.q_norm"),
+            "k_norm": _rms(sd, f"{bp}.attn.k_norm"),
+            "proj": _lin(sd, f"{bp}.attn.proj"),
+            "fc1": _lin(sd, f"{bp}.mlp.fc1"),
+            "fc2": _lin(sd, f"{bp}.mlp.fc2"),
+            "ls1": {"gamma": sd[f"{bp}.ls1.gamma"]},
+            "ls2": {"gamma": sd[f"{bp}.ls2.gamma"]},
+        }
+        i += 1
+    cp = f"{vp}clip_projector"
+    vision["clip_projector"] = {
+        "norm1_q": _norm(sd, f"{cp}.norm1_q"),
+        "norm1_k": _norm(sd, f"{cp}.norm1_k"),
+        "norm1_v": _norm(sd, f"{cp}.norm1_v"),
+        "q": {
+            "kernel": np.ascontiguousarray(sd[f"{cp}.cross_attn.q.weight"].T),
+            "bias": sd.get(f"{cp}.cross_attn.q_bias",
+                           np.zeros(sd[f"{cp}.cross_attn.q.weight"].shape[0], np.float32)),
+        },
+        "k": {
+            "kernel": np.ascontiguousarray(sd[f"{cp}.cross_attn.k.weight"].T),
+            "bias": sd.get(f"{cp}.cross_attn.k_bias",
+                           np.zeros(sd[f"{cp}.cross_attn.k.weight"].shape[0], np.float32)),
+        },
+        "v": {
+            "kernel": np.ascontiguousarray(sd[f"{cp}.cross_attn.v.weight"].T),
+            "bias": sd.get(f"{cp}.cross_attn.v_bias",
+                           np.zeros(sd[f"{cp}.cross_attn.v.weight"].shape[0], np.float32)),
+        },
+        "proj": _lin(sd, f"{cp}.cross_attn.proj"),
+    }
+
+    # BERT-large text tower (same med layout as BLIP)
+    tp = "text_encoder.bert."
+    bert = (
+        _import_med_bert(sd, tp)
+        if f"{tp}embeddings.word_embeddings.weight" in sd
+        else {}
+    )
+
+    out = {
+        "vision": vision,
+        "text": bert,
+        "vision_proj": _lin(sd, "vision_proj"),
+        "text_proj": _lin(sd, "text_proj"),
+    }
+    return out
+
+
+def _conv2d_or_tubelet(sd, prefix):
+    """IV2 patch embed is Conv3d with tubelet 1 -> per-frame 2D conv."""
+    w = sd[f"{prefix}.weight"]
+    if w.ndim == 5:  # (O, I, 1, P, P)
+        w = w[:, :, 0]
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out

@@ -240,8 +240,7 @@ def get_reward_fn(name: str, weights: Optional[dict] = None, **kw) -> Callable:
 
         return build_image_reward_blip(weights=weights, **kw)
     if name == "vi_clip2":
-        raise NotImplementedError(
-            "vi_clip2: the InternVideo2-Stage2-1B tower lands in a later "
-            "round; use vi_clip (ViCLIP) for video rewards"
-        )
+        from .internvideo2 import build_internvideo2_reward
+
+        return build_internvideo2_reward(weights=weights, **kw)
     raise ValueError(f"unknown reward fn {name!r}")

@@ -19,3 +19,21 @@ import jax  # noqa: E402
 # The environment exports JAX_PLATFORMS=axon (the TPU tunnel), which wins over
 # env-var overrides set here; jax.config.update is authoritative instead.
 jax.config.update("jax_platforms", "cpu")
+
+
+def stub_module(name, **attrs):
+    """Install a stub module with a valid __spec__ (transformers probes
+    importlib.util.find_spec, which raises on spec-less stubs)."""
+    import importlib.machinery
+    import sys
+    import types
+
+    if name in sys.modules:
+        mod = sys.modules[name]
+    else:
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod

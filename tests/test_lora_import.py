@@ -16,11 +16,10 @@ REF = "/root/reference"
 if REF not in sys.path:
     sys.path.insert(0, REF)
 
-import types  # noqa: E402
+from conftest import stub_module  # noqa: E402
 
 for _name in ("torchvision", "torchvision.io", "torchvision.utils", "cv2"):
-    if _name not in sys.modules:
-        sys.modules[_name] = types.ModuleType(_name)
+    stub_module(_name)
 
 from t2v_turbo_tpu.io.lora_import import (  # noqa: E402
     apply_lora_pt,

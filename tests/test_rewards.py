@@ -141,7 +141,6 @@ class TestFactory:
             head_dims=(8, 1),
         )
         assert ir is not None
-        with pytest.raises(NotImplementedError):
-            get_reward_fn("vi_clip2")
+        # vi_clip2 is implemented (see tests/test_internvideo2.py)
         with pytest.raises(ValueError):
             get_reward_fn("nope")

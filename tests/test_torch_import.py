@@ -25,11 +25,10 @@ if REF not in sys.path:
 
 # the reference's utils/basics modules import heavy IO deps not present here;
 # stub them (only reflective-config and video-save helpers need them)
-import types  # noqa: E402
+from conftest import stub_module  # noqa: E402
 
 for _name in ("torchvision", "torchvision.io", "torchvision.utils", "cv2"):
-    if _name not in sys.modules:
-        sys.modules[_name] = types.ModuleType(_name)
+    stub_module(_name)
 
 from t2v_turbo_tpu.io.torch_import import (  # noqa: E402
     import_unet_params,

@@ -15,42 +15,20 @@ REF = "/root/reference"
 if REF not in sys.path:
     sys.path.insert(0, REF)
 
-# viclip/__init__ pulls in its tokenizer, which needs ftfy (absent here)
-import types  # noqa: E402
+# viclip pulls in ftfy/timm/pkg_resources, absent here; stub them with valid
+# module specs (see conftest.stub_module)
+import torch.nn as _tnn  # noqa: E402
+import packaging  # noqa: E402
+import packaging.version  # noqa: E402,F401
 
-if "ftfy" not in sys.modules:
-    ftfy = types.ModuleType("ftfy")
-    ftfy.fix_text = lambda s: s
-    sys.modules["ftfy"] = ftfy
+from conftest import stub_module  # noqa: E402
 
-# viclip_vision imports timm for DropPath (identity at drop_path=0) and the
-# @register_model decorator
-if "timm" not in sys.modules:
-    import torch.nn as _tnn
-
-    timm = types.ModuleType("timm")
-    timm_models = types.ModuleType("timm.models")
-    timm_layers = types.ModuleType("timm.models.layers")
-    timm_registry = types.ModuleType("timm.models.registry")
-    timm_layers.DropPath = lambda *a, **k: _tnn.Identity()
-    timm_registry.register_model = lambda f: f
-    sys.modules.update(
-        {
-            "timm": timm,
-            "timm.models": timm_models,
-            "timm.models.layers": timm_layers,
-            "timm.models.registry": timm_registry,
-        }
-    )
-
-# viclip_text does `from pkg_resources import packaging` (absent on py3.12)
-if "pkg_resources" not in sys.modules:
-    import packaging as _packaging
-    import packaging.version  # noqa: F401
-
-    pkg_resources = types.ModuleType("pkg_resources")
-    pkg_resources.packaging = _packaging
-    sys.modules["pkg_resources"] = pkg_resources
+stub_module("ftfy", fix_text=lambda s: s)
+stub_module("timm")
+stub_module("timm.models")
+stub_module("timm.models.layers", DropPath=lambda *a, **k: _tnn.Identity())
+stub_module("timm.models.registry", register_model=lambda f: f)
+stub_module("pkg_resources", packaging=packaging)
 
 from t2v_turbo_tpu.io.torch_import import (  # noqa: E402
     import_clip_text_pooled_params,

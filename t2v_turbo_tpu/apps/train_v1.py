@@ -68,6 +68,8 @@ def parse_args(argv=None):
     p.add_argument("--video-rm-frames", type=int, default=8)
     p.add_argument("--video-rm-fraction", type=float, default=0.25)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--use-remat", action="store_true",
+                   help="per-block activation rematerialization (reference use_checkpoint)")
     return p.parse_args(argv)
 
 
@@ -108,7 +110,8 @@ def main(argv=None):
         lat_hw = (args.height // 8, args.width // 8)
         frames, wdim = args.n_frames, 256
 
-    student = UNetModel(cfg=ucfg, dtype=jnp.bfloat16 if not args.tiny_model else jnp.float32)
+    student = UNetModel(cfg=ucfg, dtype=jnp.bfloat16 if not args.tiny_model else jnp.float32,
+                        use_remat=args.use_remat)
     tcfg = UNetConfig(**{**ucfg.__dict__, "time_cond_proj_dim": None})
     teacher = UNetModel(cfg=tcfg, dtype=student.dtype)
 

@@ -36,6 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoints-total-limit", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--use-remat", action="store_true",
+                   help="per-block activation rematerialization (reference use_checkpoint)")
     return p.parse_args(argv)
 
 
@@ -78,7 +80,7 @@ def main(argv=None):
         ucfg = spec.unet
         wdim = 256
 
-    student = UNetModel(cfg=ucfg)
+    student = UNetModel(cfg=ucfg, use_remat=args.use_remat)
 
     paths = sorted(glob.glob(args.latent_glob))
     if not paths:

@@ -78,10 +78,15 @@ class UNetModel(nn.Module):
         ted = cfg.time_embed_dim
         dt = self.dtype
 
-        # use_remat: per-block rematerialization for training is applied at
-        # the train-step level (jax.checkpoint over block groups); module-level
-        # nn.remat needs static-argnum plumbing that lands with the trainer.
-        RB, ST, TT = ResBlock, SpatialTransformer, TemporalTransformer
+        if self.use_remat:
+            # per-block rematerialization (the reference's use_checkpoint,
+            # lvdm/common.py:99-112): recompute activations in backward.
+            # static argnums: batch_size/deterministic/record_probs flags.
+            RB = nn.remat(ResBlock, static_argnums=(3, 4))
+            ST = nn.remat(SpatialTransformer, static_argnums=())
+            TT = nn.remat(TemporalTransformer, static_argnums=(3,))
+        else:
+            RB, ST, TT = ResBlock, SpatialTransformer, TemporalTransformer
 
         self.time_embed_0 = nn.Dense(ted, dtype=dt)
         self.time_embed_2 = nn.Dense(ted, dtype=dt)
@@ -219,7 +224,8 @@ class UNetModel(nn.Module):
     def _run(self, layers, kinds, h, emb, context, b, deterministic, record_probs):
         for layer, kind in zip(layers, kinds):
             if kind == "res":
-                h = layer(h, emb, batch_size=b, deterministic=deterministic)
+                # positional args so nn.remat static_argnums line up
+                h = layer(h, emb, b, deterministic)
             elif kind == "spat":
                 h = layer(h, context)
             elif kind == "temp":

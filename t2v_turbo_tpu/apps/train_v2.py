@@ -24,6 +24,8 @@ def parse_args(argv=None):
     p.add_argument("--max-steps", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=3)
     p.add_argument("--learning-rate", type=float, default=1e-5)
+    p.add_argument("--temporal-lr", type=float, default=None,
+                   help="separate LR for init_attn + temporal transformers")
     p.add_argument("--optimizer", default="adamw8bit",
                    choices=["adamw", "adamw_bf16", "adamw8bit"])
     p.add_argument("--use-target-unet", action="store_true")
@@ -57,7 +59,7 @@ def main(argv=None):
     from ..models.unet_vc2 import UNetConfig, UNetModel
     from ..parallel.mesh import make_mesh
     from ..training.lcd_v2 import LCDV2Config, lcd_v2_loss
-    from ..training.optim import make_optimizer
+    from ..training.optim import make_grouped_optimizer
     from ..training.trainer import LCDTrainer, TrainerConfig
     from ..data.datasets import MP4LatentDataset
 
@@ -149,7 +151,10 @@ def main(argv=None):
         sched=sched,
         solver=solver,
         lcd_cfg=None,  # replaced below
-        optimizer=make_optimizer(args.optimizer, args.learning_rate),
+        optimizer=make_grouped_optimizer(
+            args.optimizer, args.learning_rate,
+            temporal_learning_rate=args.temporal_lr,
+        ),
         cfg=TrainerConfig(
             output_dir=args.output_dir,
             max_steps=args.max_steps,

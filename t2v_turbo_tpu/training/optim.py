@@ -172,3 +172,50 @@ def make_optimizer(
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx
+
+
+def is_temporal_param(path_segments) -> bool:
+    """Temporal-module predicate for the v2 trainer's separate LR group
+    (reference train_latent_t2v_turbo_v2.py:799-845: init_attn + the
+    TemporalTransformer modules get their own learning rate).
+
+    In the flax tree, temporal transformers sit at layer index 2 of each
+    attention-bearing block plus init_attn."""
+    import re
+
+    for seg in path_segments:
+        s = str(getattr(seg, "key", seg))
+        if s == "init_attn":
+            return True
+        if re.fullmatch(r"(input|output)_blocks_\d+_2", s) or s == "middle_block_2":
+            return True
+    return False
+
+
+def make_grouped_optimizer(
+    name: str = "adamw",
+    learning_rate: float = 1e-5,
+    temporal_learning_rate: Optional[float] = None,
+    **kw,
+) -> optax.GradientTransformation:
+    """Two-group optimizer: temporal modules at their own LR, everything else
+    at the base LR. Falls back to a single optimizer when temporal LR is
+    unset."""
+    if temporal_learning_rate is None:
+        return make_optimizer(name, learning_rate, **kw)
+
+    import jax
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "temporal" if is_temporal_param(path) else "base",
+            params,
+        )
+
+    return optax.multi_transform(
+        {
+            "base": make_optimizer(name, learning_rate, **kw),
+            "temporal": make_optimizer(name, temporal_learning_rate, **kw),
+        },
+        label_fn,
+    )

@@ -23,6 +23,8 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="T2V-Turbo TPU text-to-video")
     p.add_argument("--prompt", required=True)
+    p.add_argument("--backbone", default="vc2", choices=["vc2", "ms"],
+                   help="vc2 = VideoCrafter2 320x512; ms = ModelScope 256x256")
     p.add_argument("--config", default="configs/vc2_t2v_512.yaml")
     p.add_argument("--checkpoint", default=None, help="VideoCrafter2 model.ckpt")
     p.add_argument("--unet-ckpt", default=None, help="LCM student unet.pt (v2) or collapsed-LoRA weights")
@@ -59,6 +61,9 @@ def build_pipeline(args):
     from ..pipelines.vc2 import T2VTurboVC2Pipeline
     from ..utils.tokenizer import CLIPTokenizer
 
+    backbone = getattr(args, "backbone", "vc2")
+    if backbone == "ms":
+        return build_ms_pipeline(args)
     spec = load_vc2_config(args.config, time_cond_proj_dim=256)
     dtype = jnp.bfloat16
     unet = UNetModel(cfg=spec.unet, dtype=dtype)
@@ -119,6 +124,73 @@ def build_pipeline(args):
         tokenizer=tokenizer,
         schedule=spec.make_schedule(),
         scale_factor=spec.scale_factor,
+        dtype=dtype,
+    )
+
+
+def build_ms_pipeline(args):
+    """ModelScope backbone (reference app_ms.py / t2v_turbo_ms_pipeline):
+    diffusers UNet3D + SD VAE + full-depth CLIP text tower, 256x256/4-step."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+    from ..models.unet_ms import MSUNetConfig, MSUNet3DConditionModel
+    from ..models.vae import AutoencoderKL, VAEConfig
+    from ..pipelines.ms import T2VTurboMSPipeline
+    from ..utils.tokenizer import CLIPTokenizer
+
+    dtype = jnp.bfloat16
+    ucfg = MSUNetConfig(time_cond_proj_dim=256)
+    unet = MSUNet3DConditionModel(cfg=ucfg, dtype=dtype)
+    vae = AutoencoderKL(cfg=VAEConfig(), dtype=dtype)
+    text_model = CLIPTextModel(
+        cfg=CLIPTextConfig(penultimate=False), dtype=dtype
+    )
+    tokenizer = CLIPTokenizer()
+
+    if args.unet_ckpt:
+        from ..io.torch_import import import_ms_unet_params, load_torch_state_dict
+
+        unet_params = {"params": import_ms_unet_params(
+            load_torch_state_dict(args.unet_ckpt)
+        )}
+        # MS ships VAE/text as separate diffusers components; for now they
+        # must be random or come from --checkpoint in open_clip/SD layout
+        raise SystemExit(
+            "MS full-checkpoint loading needs the diffusers VAE/text files; "
+            "wire them via --checkpoint support in a later round"
+        )
+    if not args.random_weights:
+        import sys as _sys
+
+        print("error: MS backbone currently requires --random-weights or "
+              "--unet-ckpt", file=_sys.stderr)
+        raise SystemExit(2)
+
+    import jax.random as jr
+
+    f, h8, w8 = args.frames, args.height // 8, args.width // 8
+    unet_params = jax.jit(lambda k: unet.init(
+        k, jnp.zeros((1, f, h8, w8, 4), dtype), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 1024), dtype), timestep_cond=jnp.zeros((1, 256), dtype),
+    ))(jr.PRNGKey(0))
+    vae_params = jax.jit(lambda k: vae.init(
+        k, jnp.zeros((1, 64, 64, 3), dtype)))(jr.PRNGKey(1))
+    text_params = jax.jit(lambda k: text_model.init(
+        k, jnp.zeros((1, 77), jnp.int32)))(jr.PRNGKey(2))
+
+    from ..diffusion import DiffusionSchedule
+
+    return T2VTurboMSPipeline(
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        text_model=text_model,
+        text_params=text_params,
+        tokenizer=tokenizer,
+        schedule=DiffusionSchedule.create(),
         dtype=dtype,
     )
 

@@ -212,6 +212,7 @@ class LCDTrainer:
         fresh in output_dir and SIGTERM/SIGINT trigger a final checkpoint
         (graceful preemption — absent in the reference, SURVEY.md §5).
         """
+        from ..data.datasets import DevicePrefetcher
         from .watchdog import GracefulShutdown, Heartbeat
 
         cfg = self.cfg
@@ -221,11 +222,13 @@ class LCDTrainer:
         last_metrics = {}
         last_step = start
         hb_path = os.path.join(cfg.output_dir, "heartbeat.json")
+        # overlap host-side batch prep + H2D transfer with device compute
+        prefetch = DevicePrefetcher(data_iter, put=self.shard_batch, depth=2)
         with self.mesh, Heartbeat(hb_path) as hb, GracefulShutdown() as stop:
             for step in range(start, max_steps):
                 if stop.requested:
                     break
-                batch = self.shard_batch(next(data_iter))
+                batch = next(prefetch)
                 key, sub = jax.random.split(key)
                 t0 = time.perf_counter()
                 self.state, metrics = self._step_jit(self.state, batch, sub)

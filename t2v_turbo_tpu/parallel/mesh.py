@@ -33,9 +33,22 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        assert n % (seq * model) == 0, (n, seq, model)
+        if n % (seq * model) != 0:
+            raise ValueError(
+                f"make_mesh: need a device count divisible by seq*model="
+                f"{seq}*{model}={seq * model}, but got {n} device(s) "
+                f"({[str(d) for d in devices[:4]]}{'...' if n > 4 else ''}). "
+                "If this is a single-chip or CPU host, force virtual devices "
+                "with XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                'jax.config.update("jax_platforms", "cpu") before any jax '
+                "device query (see tests/conftest.py)."
+            )
         data = n // (seq * model)
-    assert data * seq * model == n, (data, seq, model, n)
+    if data * seq * model != n:
+        raise ValueError(
+            f"make_mesh: data*seq*model = {data}*{seq}*{model} = "
+            f"{data * seq * model} does not match the {n} device(s) provided."
+        )
     arr = np.array(devices).reshape(data, seq, model)
     return Mesh(arr, ("data", "seq", "model"))
 

@@ -20,6 +20,15 @@ import jax  # noqa: E402
 # env-var overrides set here; jax.config.update is authoritative instead.
 jax.config.update("jax_platforms", "cpu")
 
+# This box has ONE CPU core, so XLA compiles are serial and expensive
+# (~40-100s for the tiny trainer graphs). The persistent cache makes every
+# re-run of an unchanged graph near-instant, including across test files that
+# build identical HLO from the shared tiny fixtures.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def stub_module(name, **attrs):
     """Install a stub module with a valid __spec__ (transformers probes

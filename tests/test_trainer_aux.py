@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import pytest
 
 from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
-from t2v_turbo_tpu.models import UNetConfig, UNetModel
 from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig
 from t2v_turbo_tpu.training.lcd import LCDConfig, lcd_loss
 from t2v_turbo_tpu.training.reward_adapters import (
@@ -39,16 +38,14 @@ class FakeRewardModel:
 class TestRewardAdapters:
     @pytest.fixture(scope="class")
     def setup(self):
-        ucfg = UNetConfig(
-            model_channels=32, num_res_blocks=1, attention_resolutions=(2, 1),
-            channel_mult=(1, 2), num_head_channels=16, context_dim=16,
-            temporal_length=4, time_cond_proj_dim=8,
-        )
-        unet = UNetModel(cfg=ucfg)
+        from tinymodels import tiny_unet
+
+        unet = tiny_unet()
         x = jnp.zeros((2, 4, 8, 8, 4))
         ctx = jnp.zeros((2, 7, 16))
-        up = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32), ctx,
-                       timestep_cond=jnp.zeros((2, 8)))
+        up = jax.jit(unet.init)(
+            jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32), ctx,
+            timestep_cond=jnp.zeros((2, 8)))
         up = jax.tree.map(
             lambda p: p + 0.01 * np.random.RandomState(0).randn(*p.shape).astype(p.dtype), up
         )
@@ -142,13 +139,10 @@ class TestValidationLogger:
         from t2v_turbo_tpu.pipelines.vc2 import T2VTurboVC2Pipeline
         from t2v_turbo_tpu.training.validation import make_validation_logger
 
-        ucfg = UNetConfig(
-            model_channels=32, num_res_blocks=1, attention_resolutions=(2, 1),
-            channel_mult=(1, 2), num_head_channels=16, context_dim=16,
-            temporal_length=4, time_cond_proj_dim=8,
-        )
-        unet = UNetModel(cfg=ucfg)
-        up = unet.init(
+        from tinymodels import tiny_unet
+
+        unet = tiny_unet()
+        up = jax.jit(unet.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 4, 4)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 16)),
             timestep_cond=jnp.zeros((1, 8)),

@@ -11,9 +11,8 @@ import jax.numpy as jnp
 import pytest
 
 from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
-from t2v_turbo_tpu.models import UNetConfig, UNetModel
 from t2v_turbo_tpu.parallel.mesh import make_mesh
-from t2v_turbo_tpu.training.lcd import LCDConfig
+from t2v_turbo_tpu.training.lcd import LCDConfig, make_train_step
 from t2v_turbo_tpu.training.optim import (
     adamw_bf16_states,
     adamw_q8_states,
@@ -21,29 +20,15 @@ from t2v_turbo_tpu.training.optim import (
 )
 from t2v_turbo_tpu.training.trainer import LCDTrainer, TrainerConfig
 
+from tinymodels import tiny_student_pair, tiny_unet_pair
+
 
 def tiny_models():
-    cfg = UNetConfig(
-        model_channels=32,
-        num_res_blocks=1,
-        attention_resolutions=(2, 1),
-        channel_mult=(1, 2),
-        num_head_channels=16,
-        context_dim=16,
-        temporal_length=4,
-        time_cond_proj_dim=8,
-    )
-    student = UNetModel(cfg=cfg)
-    tcfg = UNetConfig(**{**cfg.__dict__, "time_cond_proj_dim": None})
-    teacher = UNetModel(cfg=tcfg)
-    x = jnp.zeros((1, 4, 8, 8, 4))
-    ts = jnp.zeros((1,), jnp.int32)
-    ctx = jnp.zeros((1, 7, 16))
-    sp = student.init(
-        jax.random.PRNGKey(0), x, ts, ctx, timestep_cond=jnp.zeros((1, 8))
-    )
-    tp = teacher.init(jax.random.PRNGKey(1), x, ts, ctx)
-    return student, sp, teacher, tp
+    # toy student/teacher: the trainer machinery under test is
+    # network-agnostic and the real UNet costs minutes to compile on this
+    # 1-core box (see tinymodels.py); UNet-through-the-step is covered by
+    # test_unet_lcd_train_step below.
+    return tiny_student_pair()
 
 
 def data_iter(b=8, t=4):
@@ -141,6 +126,132 @@ class TestTrainer:
             trainer.state["trainable"],
         )
         assert max(jax.tree.leaves(diff)) > 0
+
+
+class TestGradAccum:
+    """--gradient-accumulation-steps parity: K accumulated micro-steps must
+    equal one big-batch step (reference accelerator.accumulate,
+    train_t2v_turbo_v1_lora.py:287-291,945)."""
+
+    def _trainer(self, tmp_path, accum, lr=0.1):
+        import optax
+
+        # deterministic loss that ignores the RNG key so micro-batch grads
+        # are comparable to the big-batch grad
+        def loss_override(trainable, batch, key, ema=None):
+            pred = trainable["w"] * batch["x"]
+            loss = jnp.mean((pred - 1.0) ** 2)
+            return loss, {"loss": loss}
+
+        return LCDTrainer(
+            student_apply=None,
+            teacher_apply=None,
+            teacher_params=None,
+            student_params={"w": jnp.ones((4,))},
+            sched=None,
+            solver=None,
+            lcd_cfg=None,
+            optimizer=optax.sgd(lr),
+            cfg=TrainerConfig(
+                output_dir=str(tmp_path),
+                max_steps=100,
+                checkpoint_every=1000,
+                log_every=1,
+                lora_rank=None,
+                grad_accum_steps=accum,
+                max_grad_norm=1e9,  # keep clipping out of the equivalence
+            ),
+            mesh=make_mesh(seq=1),
+            loss_fn_override=loss_override,
+        )
+
+    def test_k_micro_steps_equal_one_big_step(self, tmp_path):
+        rng = np.random.RandomState(0)
+        m1 = {"x": rng.randn(8, 4).astype(np.float32)}
+        m2 = {"x": rng.randn(8, 4).astype(np.float32)}
+        big = {"x": np.concatenate([m1["x"], m2["x"]])}
+
+        tr_a = self._trainer(tmp_path / "a", accum=2)
+        key = jax.random.PRNGKey(0)
+        for m in (m1, m2):
+            tr_a.state, _ = tr_a._step_jit(tr_a.state, tr_a.shard_batch(m), key)
+
+        tr_b = self._trainer(tmp_path / "b", accum=1)
+        tr_b.state, _ = tr_b._step_jit(tr_b.state, tr_b.shard_batch(big), key)
+
+        np.testing.assert_allclose(
+            np.asarray(tr_a.state["trainable"]["w"]),
+            np.asarray(tr_b.state["trainable"]["w"]),
+            rtol=1e-6,
+        )
+
+    def test_update_cadence(self, tmp_path):
+        """Params move only on the K-th micro-step."""
+        rng = np.random.RandomState(1)
+        tr = self._trainer(tmp_path, accum=2)
+        w0 = np.asarray(tr.state["trainable"]["w"]).copy()
+        key = jax.random.PRNGKey(0)
+        batch = tr.shard_batch({"x": rng.randn(8, 4).astype(np.float32)})
+        tr.state, _ = tr._step_jit(tr.state, batch, key)
+        np.testing.assert_array_equal(
+            np.asarray(tr.state["trainable"]["w"]), w0
+        )
+        tr.state, _ = tr._step_jit(tr.state, batch, key)
+        assert np.abs(np.asarray(tr.state["trainable"]["w"]) - w0).max() > 0
+
+
+class TestUNetIntegration:
+    def test_unet_lcd_train_step(self):
+        """One sharded LCD train step through the real (tiny) UNet — the
+        single expensive compile in this file; everything else rides the toy
+        model. Mirrors the driver's dryrun_multichip but lives in pytest."""
+        import optax
+
+        student, sp, teacher, tp = tiny_unet_pair()
+        sched = DiffusionSchedule.create()
+        solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+        step = make_train_step(
+            optax.adamw(1e-4),
+            student_apply=lambda p, z, t, c, fps=None, timestep_cond=None: (
+                student.apply(p, z, t, c, fps=fps, timestep_cond=timestep_cond)
+            ),
+            teacher_apply=lambda p, z, t, c, fps=None: teacher.apply(
+                p, z, t, c, fps=fps
+            ),
+            sched=sched,
+            solver=solver,
+            cfg=LCDConfig(w_embedding_dim=8),
+        )
+        opt_state = optax.adamw(1e-4).init(sp)
+        rng = np.random.RandomState(0)
+        batch = {
+            "latents": jnp.asarray(rng.randn(8, 4, 8, 8, 4), jnp.float32),
+            "ctx": jnp.asarray(rng.randn(8, 7, 16), jnp.float32),
+            "uncond_ctx": jnp.zeros((8, 7, 16)),
+            "fps": jnp.full((8,), 16.0),
+        }
+        mesh = make_mesh(seq=2)
+        from t2v_turbo_tpu.parallel.mesh import replicated, shard_batch
+
+        batch = shard_batch(mesh, batch)
+        sp = jax.device_put(sp, replicated(mesh))
+        tp = jax.device_put(tp, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        with mesh:
+            new_params, _, metrics = jax.jit(step)(
+                sp, opt_state, tp, batch, jax.random.PRNGKey(0)
+            )
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["grad_norm"]) > 0
+        delta = float(
+            jnp.sqrt(
+                sum(
+                    jnp.sum((a - b) ** 2)
+                    for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(sp))
+                )
+            )
+        )
+        assert delta > 0
 
 
 class TestOptim:

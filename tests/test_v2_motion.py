@@ -6,7 +6,6 @@ import jax.numpy as jnp
 import pytest
 
 from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
-from t2v_turbo_tpu.models import UNetConfig, UNetModel
 from t2v_turbo_tpu.training.lcd_v2 import LCDV2Config, lcd_v2_loss
 from t2v_turbo_tpu.training.motion import (
     motion_prior_score,
@@ -18,20 +17,12 @@ from t2v_turbo_tpu.training.motion import (
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = UNetConfig(
-        model_channels=32,
-        num_res_blocks=1,
-        attention_resolutions=(2, 1),
-        channel_mult=(1, 2),
-        num_head_channels=16,
-        context_dim=16,
-        temporal_length=4,
-        time_cond_proj_dim=8,
-    )
-    model = UNetModel(cfg=cfg)
+    from tinymodels import tiny_unet
+
+    model = tiny_unet()
     x = jnp.zeros((2, 4, 8, 8, 4))
     ctx = jnp.zeros((2, 7, 16))
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32), ctx,
         timestep_cond=jnp.zeros((2, 8)),
     )
@@ -154,8 +145,7 @@ class TestMotion:
             f, params, z, jnp.array([500]), jnp.ones((1, 7, 16))
         )
         assert out.shape == z.shape
-        # tiny config: output blocks with temporal attention = 4 (2 levels x
-        # (num_res+1) with attn at both ds) minus none -> count > 0
+        # single-level tiny config still has >=1 temporal attention tap
         assert len(probs) > 0
         for p in probs:
             assert p.shape[-1] == 4  # T

@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--checkpointing-steps", type=int, default=2000)
     p.add_argument("--checkpoints-total-limit", type=int, default=3)
     p.add_argument("--max-grad-norm", type=float, default=10.0)
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1,
+                   help="average grads over K micro-batches per update "
+                        "(reference train_t2v_turbo_v1_lora.py:287-291)")
     p.add_argument("--seed", type=int, default=453645634)
     p.add_argument("--seq-shards", type=int, default=1,
                    help="mesh seq axis size (temporal sharding)")
@@ -68,6 +71,9 @@ def parse_args(argv=None):
     p.add_argument("--video-rm-frames", type=int, default=8)
     p.add_argument("--video-rm-fraction", type=float, default=0.25)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() for multi-process "
+                        "training (reference: accelerate multi-node DDP)")
     p.add_argument("--use-remat", action="store_true",
                    help="per-block activation rematerialization (reference use_checkpoint)")
     return p.parse_args(argv)
@@ -76,6 +82,11 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+
+    if args.multihost:
+        from ..parallel.multihost import initialize
+
+        initialize()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -270,6 +281,7 @@ def main(argv=None):
             max_grad_norm=args.max_grad_norm,
             seed=args.seed,
             log_every=1,
+            grad_accum_steps=args.gradient_accumulation_steps,
         ),
         mesh=mesh,
     )

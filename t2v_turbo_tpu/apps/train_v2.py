@@ -34,10 +34,15 @@ def parse_args(argv=None):
     p.add_argument("--percentage", type=float, default=0.3)
     p.add_argument("--use-motion-cond", action="store_true")
     p.add_argument("--num-ddim-timesteps", type=int, default=50)
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1,
+                   help="average grads over K micro-batches per update")
     p.add_argument("--checkpointing-steps", type=int, default=2000)
     p.add_argument("--checkpoints-total-limit", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() for multi-process "
+                        "training (reference: accelerate multi-node DDP)")
     p.add_argument("--use-remat", action="store_true",
                    help="per-block activation rematerialization (reference use_checkpoint)")
     return p.parse_args(argv)
@@ -46,6 +51,11 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+
+    if args.multihost:
+        from ..parallel.multihost import initialize
+
+        initialize()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -164,6 +174,7 @@ def main(argv=None):
             ema_decay=args.ema_decay if args.use_target_unet else None,
             seed=args.seed,
             log_every=1,
+            grad_accum_steps=args.gradient_accumulation_steps,
         ),
         mesh=make_mesh(),
         loss_fn_override=lambda trainable, batch, key, ema=None: lcd_v2_loss(

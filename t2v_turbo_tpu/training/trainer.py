@@ -45,6 +45,11 @@ class TrainerConfig:
     lora_rank: Optional[int] = 64  # None -> full finetune (v2 style)
     lora_scale: float = 1.0
     ema_decay: Optional[float] = None  # v2 target net
+    # Reference --gradient_accumulation_steps (train_t2v_turbo_v1_lora.py:
+    # 287-291, accelerator.accumulate :945). K>1 averages grads over K
+    # micro-batches before one optimizer update; max_steps counts
+    # micro-steps, so set max_steps = updates * K.
+    grad_accum_steps: int = 1
 
 
 class LCDTrainer:
@@ -70,6 +75,18 @@ class LCDTrainer:
         lcd_v2_loss in this way (its target network is the EMA state)."""
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
+        accum = max(1, cfg.grad_accum_steps)
+        if accum > 1:
+            # clip the *accumulated* grads (reference clips after
+            # accumulate, train_t2v_turbo_v1_lora.py:1192), so the norm clip
+            # moves inside the MultiSteps wrapper and the per-micro-batch
+            # manual clip in step_fn is skipped.
+            optimizer = optax.MultiSteps(
+                optax.chain(
+                    optax.clip_by_global_norm(cfg.max_grad_norm), optimizer
+                ),
+                every_k_schedule=accum,
+            )
         self.optimizer = optimizer
         self.student_params = student_params
         self.teacher_params = teacher_params
@@ -123,9 +140,10 @@ class LCDTrainer:
                 state["trainable"], batch, key, state.get("ema")
             )
             gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
-            grads = jax.tree.map(lambda g: g * scale, grads)
-            updates, opt_state = optimizer.update(
+            if cfg.grad_accum_steps <= 1:
+                scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["trainable"]
             )
             trainable = optax.apply_updates(state["trainable"], updates)
@@ -136,11 +154,21 @@ class LCDTrainer:
                 step=state["step"] + 1,
             )
             if cfg.ema_decay is not None:
-                new_state["ema"] = jax.tree.map(
+                ema = jax.tree.map(
                     lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
                     state["ema"],
                     trainable,
                 )
+                if cfg.grad_accum_steps > 1:
+                    # decay once per optimizer update, not per micro-step
+                    # (mini_step wraps to 0 on the update boundary)
+                    did_update = opt_state.mini_step == 0
+                    ema = jax.tree.map(
+                        lambda new, old: jnp.where(did_update, new, old),
+                        ema,
+                        state["ema"],
+                    )
+                new_state["ema"] = ema
             metrics["grad_norm"] = gnorm
             return new_state, metrics
 
@@ -181,20 +209,12 @@ class LCDTrainer:
         return row
 
     def shard_batch(self, batch):
-        # host-only fields (raw texts etc.) are prefixed with "_"
-        batch = {k: v for k, v in batch.items() if not k.startswith("_")}
-        sh_bt = NamedSharding(self.mesh, P("data", "seq"))
-        sh_b = NamedSharding(self.mesh, P("data"))
+        # host-only fields (raw texts etc., prefixed "_") are dropped; under
+        # multi-process each host contributes only its local rows
+        # (jax.make_array_from_process_local_data inside)
+        from ..parallel.multihost import host_local_batch_to_global
 
-        def put(x):
-            x = jnp.asarray(x)
-            if x.ndim >= 5:
-                return jax.device_put(x, sh_bt)
-            if x.ndim >= 1:
-                return jax.device_put(x, sh_b)
-            return jax.device_put(x, replicated(self.mesh))
-
-        return jax.tree.map(put, batch)
+        return host_local_batch_to_global(self.mesh, batch)
 
     # ------------------------------------------------------------------
     def run(

@@ -20,8 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import group_norm, layer_norm, scaled_dot_product_attention
-from ..ops.attention import attention_xla
+from ..ops import group_norm, layer_norm
+from ..ops.attention import attention_xla_bshd, sdpa_bshd
 
 
 def silu(x):
@@ -117,9 +117,11 @@ class CrossAttention(nn.Module):
 
         b, sq, _ = q.shape
         sk = k.shape[1]
-        split = lambda t: t.reshape(b, -1, self.heads, self.dim_head).transpose(
-            0, 2, 1, 3
-        )
+        # BSHD layout: (B, S, H, D) straight off the projection — a free
+        # reshape, no head transpose in either direction (the old
+        # (B,H,S,D) path paid 4-6 layout copies per attention; see
+        # PERF_NOTES "BSHD-native" lever).
+        split = lambda t: t.reshape(b, -1, self.heads, self.dim_head)
         q, k, v = split(q), split(k), split(v)
         scale = self.dim_head**-0.5
 
@@ -132,9 +134,9 @@ class CrossAttention(nn.Module):
                 )(sq, sk)
                 # logits bias: q · k2 per (query, key) position
                 bias = jnp.einsum(
-                    "bhqd,qkd->bhqk", q.astype(jnp.float32), k2.astype(jnp.float32)
+                    "bqhd,qkd->bhqk", q.astype(jnp.float32), k2.astype(jnp.float32)
                 ) * scale
-            out, probs = attention_xla(
+            out, probs = attention_xla_bshd(
                 q, k, v, bias=bias, causal=causal, scale=scale, return_probs=True
             )
             if self.relative_position:
@@ -142,7 +144,7 @@ class CrossAttention(nn.Module):
                     self.dim_head, self.temporal_length, name="relative_position_v"
                 )(sq, sk)
                 out = out + jnp.einsum(
-                    "bhqk,qkd->bhqd", probs.astype(out.dtype), v2.astype(out.dtype)
+                    "bhqk,qkd->bqhd", probs.astype(out.dtype), v2.astype(out.dtype)
                 )
             if record_probs:
                 # (B·H, Sq, Sk) like the reference's attention_probs
@@ -152,11 +154,11 @@ class CrossAttention(nn.Module):
                     probs.reshape(b * self.heads, sq, sk),
                 )
         else:
-            out = scaled_dot_product_attention(
+            out = sdpa_bshd(
                 q, k, v, causal=causal, scale=scale, use_flash=use_flash
             )
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        out = out.reshape(b, sq, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 

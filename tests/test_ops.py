@@ -101,6 +101,72 @@ class TestFlashAttention:
         np.testing.assert_allclose(out2, attention_xla(q, k, v), atol=1e-5)
 
 
+class TestFlashAttentionBSHD:
+    """The layer-native (B, S, H, D) kernels must match the (B, H, S, D)
+    path exactly (they share the kernel bodies)."""
+
+    def _qkv_bshd(self, key, b, sq, sk, h, d, dtype=jnp.float32):
+        q, k, v = _qkv(key, b, h, sq, sk, d, dtype)
+        to_bshd = lambda t: t.transpose(0, 2, 1, 3)
+        return to_bshd(q), to_bshd(k), to_bshd(v)
+
+    @pytest.mark.parametrize(
+        "b,h,sq,sk,d",
+        [
+            (1, 2, 256, 256, 64),
+            (2, 5, 512, 77, 64),  # cross-attn, padded K, multi-batch
+            (1, 2, 100, 100, 64),  # unaligned
+        ],
+    )
+    def test_matches_xla(self, b, h, sq, sk, d):
+        from t2v_turbo_tpu.ops.attention import (
+            attention_xla_bshd,
+            flash_attention_bshd,
+        )
+
+        q, k, v = self._qkv_bshd(jax.random.PRNGKey(7), b, sq, sk, h, d)
+        out = flash_attention_bshd(q, k, v)
+        expected = attention_xla_bshd(q, k, v)
+        assert out.shape == (b, sq, h, d)
+        np.testing.assert_allclose(out, expected, atol=2e-3, rtol=2e-3)
+
+    def test_xla_bshd_matches_bhsd(self):
+        from t2v_turbo_tpu.ops.attention import attention_xla_bshd
+
+        q, k, v = _qkv(jax.random.PRNGKey(8), 2, 3, 64, 32, 16)
+        ref, probs_ref = attention_xla(q, k, v, return_probs=True)
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        out, probs = attention_xla_bshd(t(q), t(k), t(v), return_probs=True)
+        np.testing.assert_allclose(t(out), ref, atol=1e-6)
+        np.testing.assert_allclose(probs, probs_ref, atol=1e-6)
+
+    def test_grad_matches_xla(self):
+        from t2v_turbo_tpu.ops.attention import (
+            attention_xla_bshd,
+            flash_attention_bshd,
+        )
+
+        q, k, v = self._qkv_bshd(jax.random.PRNGKey(9), 1, 256, 256, 2, 32)
+
+        def f_flash(q, k, v):
+            return jnp.sum(flash_attention_bshd(q, k, v) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(attention_xla_bshd(q, k, v) ** 2)
+
+        gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(a, b_, atol=2e-3, rtol=2e-3)
+
+    def test_dispatcher_bias_and_small(self):
+        from t2v_turbo_tpu.ops.attention import attention_xla_bshd, sdpa_bshd
+
+        q, k, v = self._qkv_bshd(jax.random.PRNGKey(10), 1, 16, 16, 1, 8)
+        out = sdpa_bshd(q, k, v)
+        np.testing.assert_allclose(out, attention_xla_bshd(q, k, v), atol=1e-5)
+
+
 class TestNorms:
     def test_group_norm_matches_torch_semantics(self):
         torch = pytest.importorskip("torch")

@@ -1,12 +1,13 @@
-"""Numerical parity: reference torch modules vs JAX rebuild with imported
+"""Numerical parity: reference torch oracles vs JAX rebuild with imported
 weights, on tiny configs.
 
-The reference implementation at /root/reference is imported read-only and run
-on CPU to produce oracles; its randomly-initialized state dicts are mapped
-through t2v_turbo_tpu.io.torch_import and must reproduce the same outputs
-(layout-transposed) to float tolerance. This is the layer-by-layer parity
-strategy SURVEY.md §7 calls the only way to guarantee reference-matching
-outputs.
+Oracles come from committed golden fixtures (tests/goldens/*.npz: tiny
+random torch state_dicts + inputs + reference outputs). When a golden is
+missing, it is regenerated live from torch + the read-only reference mount
+and saved — so the parity contract is reproducible, but running the suite
+needs neither torch nor /root/reference once goldens exist. This is the
+layer-by-layer parity strategy SURVEY.md §7 calls the only way to guarantee
+reference-matching outputs.
 """
 
 import sys
@@ -14,41 +15,56 @@ import sys
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
-
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-REF = "/root/reference"
-if REF not in sys.path:
-    sys.path.insert(0, REF)
-
-# the reference's utils/basics modules import heavy IO deps not present here;
-# stub them (only reflective-config and video-save helpers need them)
-from conftest import stub_module  # noqa: E402
-
-for _name in ("torchvision", "torchvision.io", "torchvision.utils", "cv2"):
-    stub_module(_name)
-
-from t2v_turbo_tpu.io.torch_import import (  # noqa: E402
+import goldens
+from t2v_turbo_tpu.io.torch_import import (
     import_unet_params,
     import_vae_params,
 )
-from t2v_turbo_tpu.models import UNetConfig, UNetModel  # noqa: E402
-from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa: E402
+from t2v_turbo_tpu.models import UNetConfig, UNetModel
+from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig
+
+REF = "/root/reference"
+
+
+def _torch_and_reference():
+    """Import torch and put the reference on sys.path (generation only)."""
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from conftest import stub_module
+
+    for _name in ("torchvision", "torchvision.io", "torchvision.utils", "cv2"):
+        stub_module(_name)
+    return torch
 
 
 def to_np(sd):
     return {k: v.detach().numpy() for k, v in sd.items()}
 
 
-@pytest.fixture(scope="module")
-def ref_unet_pair():
-    """Tiny reference UNet + matching JAX model/params."""
+TINY_UNET_JAX_CFG = dict(
+    in_channels=4,
+    out_channels=4,
+    model_channels=32,
+    num_res_blocks=1,
+    attention_resolutions=(2, 1),
+    channel_mult=(1, 2),
+    num_head_channels=16,
+    context_dim=24,
+    temporal_length=4,
+    time_cond_proj_dim=8,
+)
+
+
+def _gen_unet_golden():
+    torch = _torch_and_reference()
     from lvdm.modules.networks.openaimodel3d import UNetModel as RefUNet
 
     torch.manual_seed(0)
-    kw = dict(
+    ref = RefUNet(
         in_channels=4,
         model_channels=32,
         out_channels=4,
@@ -69,127 +85,175 @@ def ref_unet_pair():
         addition_attention=True,
         fps_cond=True,
         time_cond_proj_dim=8,
+    ).eval()
+
+    g = {f"sd.{k}": v for k, v in to_np(ref.state_dict()).items()}
+
+    # case 1: single batch, fps 16
+    rng = np.random.RandomState(0)
+    x1 = rng.randn(1, 4, 4, 8, 8).astype(np.float32)
+    ctx1 = rng.randn(1, 7, 24).astype(np.float32)
+    ts1 = np.array([314], dtype=np.int64)
+    w1 = rng.randn(1, 8).astype(np.float32)
+    with torch.no_grad():
+        out1 = ref(
+            torch.from_numpy(x1),
+            torch.from_numpy(ts1),
+            context=torch.from_numpy(ctx1),
+            fps=16,
+            timestep_cond=torch.from_numpy(w1),
+        ).numpy()
+    g.update(
+        {"in1.x": x1, "in1.ctx": ctx1, "in1.ts": ts1, "in1.w": w1,
+         "in1.fps": np.array([16.0], np.float32), "out1.y": out1}
     )
-    ref = RefUNet(**kw).eval()
-    cfg = UNetConfig(
-        in_channels=4,
-        out_channels=4,
-        model_channels=32,
+
+    # case 2: batch 2, edge timesteps, fps 24
+    rng = np.random.RandomState(1)
+    x2 = rng.randn(2, 4, 4, 8, 8).astype(np.float32)
+    ctx2 = rng.randn(2, 7, 24).astype(np.float32)
+    ts2 = np.array([0, 999], dtype=np.int64)
+    w2 = rng.randn(2, 8).astype(np.float32)
+    with torch.no_grad():
+        out2 = ref(
+            torch.from_numpy(x2),
+            torch.from_numpy(ts2),
+            context=torch.from_numpy(ctx2),
+            fps=24,
+            timestep_cond=torch.from_numpy(w2),
+        ).numpy()
+    g.update(
+        {"in2.x": x2, "in2.ctx": ctx2, "in2.ts": ts2, "in2.w": w2,
+         "in2.fps": np.array([24.0, 24.0], np.float32), "out2.y": out2}
+    )
+    return g
+
+
+def _gen_vae_golden():
+    torch = _torch_and_reference()
+    from lvdm.modules.networks.ae_modules import Decoder as RefDec
+    from lvdm.modules.networks.ae_modules import Encoder as RefEnc
+
+    torch.manual_seed(1)
+    dd = dict(
+        double_z=True,
+        z_channels=4,
+        resolution=32,
+        in_channels=3,
+        out_ch=3,
+        ch=32,
+        ch_mult=[1, 2],
         num_res_blocks=1,
-        attention_resolutions=(2, 1),
-        channel_mult=(1, 2),
-        num_head_channels=16,
-        context_dim=24,
-        temporal_length=4,
-        time_cond_proj_dim=8,
+        attn_resolutions=[],
+        dropout=0.0,
     )
-    params = import_unet_params(to_np(ref.state_dict()), cfg)
-    model = UNetModel(cfg=cfg)
-    return ref, model, params
+    enc = RefEnc(**dd).eval()
+    dec = RefDec(**dd).eval()
+    qc = torch.nn.Conv2d(8, 8, 1)
+    pqc = torch.nn.Conv2d(4, 4, 1)
+
+    sd = {}
+    sd.update({f"encoder.{k}": v for k, v in to_np(enc.state_dict()).items()})
+    sd.update({f"decoder.{k}": v for k, v in to_np(dec.state_dict()).items()})
+    sd.update({f"quant_conv.{k}": v for k, v in to_np(qc.state_dict()).items()})
+    sd.update(
+        {f"post_quant_conv.{k}": v for k, v in to_np(pqc.state_dict()).items()}
+    )
+    g = {f"sd.{k}": v for k, v in sd.items()}
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        moments = qc(enc(torch.from_numpy(x))).numpy()
+    g.update({"in.enc_x": x, "out.moments": moments})
+
+    rng = np.random.RandomState(3)
+    z = rng.randn(2, 4, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        dec_out = dec(pqc(torch.from_numpy(z))).numpy()
+    g.update({"in.dec_z": z, "out.dec": dec_out})
+    return g
+
+
+def _gen_mha_golden():
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(3)
+    width, heads, s, b = 32, 4, 7, 2
+    mha = torch.nn.MultiheadAttention(width, heads, batch_first=True).eval()
+    x = torch.randn(b, s, width)
+    mask = torch.full((s, s), float("-inf")).triu(1)
+    with torch.no_grad():
+        ref_out, _ = mha(x, x, x, attn_mask=mask, need_weights=False)
+    return {
+        "w_in": mha.in_proj_weight.detach().numpy(),
+        "b_in": mha.in_proj_bias.detach().numpy(),
+        "w_out": mha.out_proj.weight.detach().numpy(),
+        "b_out": mha.out_proj.bias.detach().numpy(),
+        "in.x": x.numpy(),
+        "out.y": ref_out.numpy(),
+        "meta.heads": np.array([heads]),
+    }
+
+
+def _golden(name, gen):
+    g = goldens.load(name)
+    if g is None:
+        g = gen()
+        goldens.save(name, g)
+    return g
+
+
+@pytest.fixture(scope="module")
+def unet_golden():
+    return _golden("vc2_unet_tiny", _gen_unet_golden)
+
+
+@pytest.fixture(scope="module")
+def vae_golden():
+    return _golden("vc2_vae_tiny", _gen_vae_golden)
 
 
 class TestUNetParity:
-    def test_forward_parity(self, ref_unet_pair):
-        ref, model, params = ref_unet_pair
-        rng = np.random.RandomState(0)
-        b, c, t, h, w = 1, 4, 4, 8, 8
-        x = rng.randn(b, c, t, h, w).astype(np.float32)
-        ctx = rng.randn(b, 7, 24).astype(np.float32)
-        ts = np.array([314], dtype=np.int64)
-        wcond = rng.randn(b, 8).astype(np.float32)
+    @pytest.fixture(scope="class")
+    def model_params(self, unet_golden):
+        cfg = UNetConfig(**TINY_UNET_JAX_CFG)
+        params = import_unet_params(goldens.subdict(unet_golden, "sd"), cfg)
+        return UNetModel(cfg=cfg), params
 
-        with torch.no_grad():
-            ref_out = ref(
-                torch.from_numpy(x),
-                torch.from_numpy(ts),
-                context=torch.from_numpy(ctx),
-                fps=16,
-                timestep_cond=torch.from_numpy(wcond),
-            ).numpy()
-
-        x_jax = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # BCTHW -> BTHWC
+    @pytest.mark.parametrize("case", ["1", "2"])
+    def test_forward_parity(self, unet_golden, model_params, case):
+        g = unet_golden
+        model, params = model_params
+        x = g[f"in{case}.x"]
         out = model.apply(
             {"params": params},
-            x_jax,
-            jnp.asarray(ts),
-            jnp.asarray(ctx),
-            fps=jnp.asarray([16.0]),
-            timestep_cond=jnp.asarray(wcond),
-        )
-        out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)  # back to BCTHW
-        np.testing.assert_allclose(out_np, ref_out, atol=2e-4, rtol=1e-3)
-
-    def test_parity_multiple_timesteps(self, ref_unet_pair):
-        ref, model, params = ref_unet_pair
-        rng = np.random.RandomState(1)
-        x = rng.randn(2, 4, 4, 8, 8).astype(np.float32)
-        ctx = rng.randn(2, 7, 24).astype(np.float32)
-        ts = np.array([0, 999], dtype=np.int64)
-        wcond = rng.randn(2, 8).astype(np.float32)
-        with torch.no_grad():
-            ref_out = ref(
-                torch.from_numpy(x),
-                torch.from_numpy(ts),
-                context=torch.from_numpy(ctx),
-                fps=24,
-                timestep_cond=torch.from_numpy(wcond),
-            ).numpy()
-        out = model.apply(
-            {"params": params},
-            jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
-            jnp.asarray(ts),
-            jnp.asarray(ctx),
-            fps=jnp.asarray([24.0, 24.0]),
-            timestep_cond=jnp.asarray(wcond),
+            jnp.asarray(x.transpose(0, 2, 3, 4, 1)),  # BCTHW -> BTHWC
+            jnp.asarray(g[f"in{case}.ts"]),
+            jnp.asarray(g[f"in{case}.ctx"]),
+            fps=jnp.asarray(g[f"in{case}.fps"]),
+            timestep_cond=jnp.asarray(g[f"in{case}.w"]),
         )
         np.testing.assert_allclose(
-            np.asarray(out).transpose(0, 4, 1, 2, 3), ref_out, atol=2e-4, rtol=1e-3
+            np.asarray(out).transpose(0, 4, 1, 2, 3),
+            g[f"out{case}.y"],
+            atol=2e-4,
+            rtol=1e-3,
         )
 
 
 class TestVAEParity:
     @pytest.fixture(scope="class")
-    def ref_vae_pair(self):
-        from lvdm.modules.networks.ae_modules import Encoder as RefEnc
-        from lvdm.modules.networks.ae_modules import Decoder as RefDec
-
-        torch.manual_seed(1)
-        dd = dict(
-            double_z=True,
-            z_channels=4,
-            resolution=32,
-            in_channels=3,
-            out_ch=3,
-            ch=32,
-            ch_mult=[1, 2],
-            num_res_blocks=1,
-            attn_resolutions=[],
-            dropout=0.0,
-        )
-        enc = RefEnc(**dd).eval()
-        dec = RefDec(**dd).eval()
-        sd = {}
-        sd.update({f"encoder.{k}": v for k, v in to_np(enc.state_dict()).items()})
-        sd.update({f"decoder.{k}": v for k, v in to_np(dec.state_dict()).items()})
-        # synthesize 1x1 quant convs with torch for mapping coverage
-        qc = torch.nn.Conv2d(8, 8, 1)
-        pqc = torch.nn.Conv2d(4, 4, 1)
-        sd.update({f"quant_conv.{k}": v for k, v in to_np(qc.state_dict()).items()})
-        sd.update(
-            {f"post_quant_conv.{k}": v for k, v in to_np(pqc.state_dict()).items()}
+    def model_params(self, vae_golden):
+        params = import_vae_params(
+            goldens.subdict(vae_golden, "sd"), n_levels=2, n_res=1
         )
         cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4)
-        params = import_vae_params(sd, n_levels=2, n_res=1)
-        model = AutoencoderKL(cfg=cfg)
-        return enc, dec, qc, pqc, model, params
+        return AutoencoderKL(cfg=cfg), params
 
-    def test_encode_parity(self, ref_vae_pair):
-        enc, dec, qc, pqc, model, params = ref_vae_pair
-        rng = np.random.RandomState(2)
-        x = rng.randn(2, 3, 32, 32).astype(np.float32)
-        with torch.no_grad():
-            moments = qc(enc(torch.from_numpy(x))).numpy()
-        mean_ref, logvar_ref = np.split(moments, 2, axis=1)
+    def test_encode_parity(self, vae_golden, model_params):
+        model, params = model_params
+        x = vae_golden["in.enc_x"]
+        mean_ref, logvar_ref = np.split(vae_golden["out.moments"], 2, axis=1)
         mean, logvar = model.apply(
             {"params": params},
             jnp.asarray(x.transpose(0, 2, 3, 1)),
@@ -205,19 +269,19 @@ class TestVAEParity:
             rtol=1e-3,
         )
 
-    def test_decode_parity(self, ref_vae_pair):
-        enc, dec, qc, pqc, model, params = ref_vae_pair
-        rng = np.random.RandomState(3)
-        z = rng.randn(2, 4, 16, 16).astype(np.float32)
-        with torch.no_grad():
-            ref_out = dec(pqc(torch.from_numpy(z))).numpy()
+    def test_decode_parity(self, vae_golden, model_params):
+        model, params = model_params
+        z = vae_golden["in.dec_z"]
         out = model.apply(
             {"params": params},
             jnp.asarray(z.transpose(0, 2, 3, 1)),
             method=model.decode,
         )
         np.testing.assert_allclose(
-            np.asarray(out).transpose(0, 3, 1, 2), ref_out, atol=3e-4, rtol=1e-3
+            np.asarray(out).transpose(0, 3, 1, 2),
+            vae_golden["out.dec"],
+            atol=3e-4,
+            rtol=1e-3,
         )
 
 
@@ -228,21 +292,11 @@ class TestCLIPAttentionPacking:
     def test_mha_parity(self):
         from t2v_turbo_tpu.ops.attention import attention_xla
 
-        torch.manual_seed(3)
-        width, heads, s, b = 32, 4, 7, 2
-        mha = torch.nn.MultiheadAttention(width, heads, batch_first=True).eval()
-        x = torch.randn(b, s, width)
-        mask = torch.full((s, s), float("-inf")).triu(1)
-        with torch.no_grad():
-            ref_out, _ = mha(x, x, x, attn_mask=mask, need_weights=False)
-
-        w_in = mha.in_proj_weight.detach().numpy()  # (3W, W)
-        b_in = mha.in_proj_bias.detach().numpy()
-        w_out = mha.out_proj.weight.detach().numpy()
-        b_out = mha.out_proj.bias.detach().numpy()
-
-        xn = x.numpy()
-        qkv = xn @ w_in.T + b_in
+        g = _golden("clip_mha", _gen_mha_golden)
+        xn = g["in.x"]
+        b, s, width = xn.shape
+        heads = int(g["meta.heads"][0])
+        qkv = xn @ g["w_in"].T + g["b_in"]
         q, k, v = np.split(qkv, 3, axis=-1)
         d = width // heads
         sp = lambda t: jnp.asarray(
@@ -250,5 +304,5 @@ class TestCLIPAttentionPacking:
         )
         out = attention_xla(sp(q), sp(k), sp(v), causal=True)
         out = np.asarray(out).transpose(0, 2, 1, 3).reshape(b, s, width)
-        out = out @ w_out.T + b_out
-        np.testing.assert_allclose(out, ref_out.numpy(), atol=1e-5)
+        out = out @ g["w_out"].T + g["b_out"]
+        np.testing.assert_allclose(out, g["out.y"], atol=1e-5)

@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--unet-ckpt", default=None, help="LCM student unet.pt (v2) or collapsed-LoRA weights")
     p.add_argument("--lora-ckpt", default=None,
                    help="cloneofsimo unet_lora.pt (v1); folded into the base UNet")
+    p.add_argument("--ms-dir", default=None,
+                   help="ModelScope diffusers multi-file directory with "
+                        "unet/ vae/ text_encoder/ subfolders "
+                        "(reference app_ms.py:181-227)")
     p.add_argument("--random-weights", action="store_true",
                    help="run with random weights (smoke mode, no checkpoint)")
     p.add_argument("--steps", type=int, default=4)
@@ -144,41 +148,45 @@ def build_ms_pipeline(args):
     ucfg = MSUNetConfig(time_cond_proj_dim=256)
     unet = MSUNet3DConditionModel(cfg=ucfg, dtype=dtype)
     vae = AutoencoderKL(cfg=VAEConfig(), dtype=dtype)
-    text_model = CLIPTextModel(
-        cfg=CLIPTextConfig(penultimate=False), dtype=dtype
-    )
     tokenizer = CLIPTokenizer()
 
-    if args.unet_ckpt:
-        from ..io.torch_import import import_ms_unet_params, load_torch_state_dict
+    if args.ms_dir:
+        # full diffusers multi-file layout (reference app_ms.py:181-227)
+        from ..io.torch_import import import_ms_unet_params, load_ms_components
+        from ..io.torch_import import load_torch_state_dict
 
-        unet_params = {"params": import_ms_unet_params(
-            load_torch_state_dict(args.unet_ckpt)
-        )}
-        # MS ships VAE/text as separate diffusers components; for now they
-        # must be random or come from --checkpoint in open_clip/SD layout
-        raise SystemExit(
-            "MS full-checkpoint loading needs the diffusers VAE/text files; "
-            "wire them via --checkpoint support in a later round"
+        comps = load_ms_components(args.ms_dir)
+        unet_params = {"params": comps["unet"]}
+        if args.unet_ckpt:  # LCM student unet.pt overrides the teacher UNet
+            unet_params = {"params": import_ms_unet_params(
+                load_torch_state_dict(args.unet_ckpt)
+            )}
+        vae_params = {"params": comps["vae"]}
+        text_model = CLIPTextModel(
+            cfg=CLIPTextConfig(**comps["text_cfg"]), dtype=dtype
         )
-    if not args.random_weights:
+        text_params = {"params": comps["text"]}
+    elif args.random_weights:
+        import jax.random as jr
+
+        text_model = CLIPTextModel(
+            cfg=CLIPTextConfig(penultimate=False), dtype=dtype
+        )
+        f, h8, w8 = args.frames, args.height // 8, args.width // 8
+        unet_params = jax.jit(lambda k: unet.init(
+            k, jnp.zeros((1, f, h8, w8, 4), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 1024), dtype), timestep_cond=jnp.zeros((1, 256), dtype),
+        ))(jr.PRNGKey(0))
+        vae_params = jax.jit(lambda k: vae.init(
+            k, jnp.zeros((1, 64, 64, 3), dtype)))(jr.PRNGKey(1))
+        text_params = jax.jit(lambda k: text_model.init(
+            k, jnp.zeros((1, 77), jnp.int32)))(jr.PRNGKey(2))
+    else:
         import sys as _sys
 
-        print("error: MS backbone currently requires --random-weights or "
-              "--unet-ckpt", file=_sys.stderr)
+        print("error: MS backbone requires --ms-dir (diffusers layout) or "
+              "--random-weights", file=_sys.stderr)
         raise SystemExit(2)
-
-    import jax.random as jr
-
-    f, h8, w8 = args.frames, args.height // 8, args.width // 8
-    unet_params = jax.jit(lambda k: unet.init(
-        k, jnp.zeros((1, f, h8, w8, 4), dtype), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 77, 1024), dtype), timestep_cond=jnp.zeros((1, 256), dtype),
-    ))(jr.PRNGKey(0))
-    vae_params = jax.jit(lambda k: vae.init(
-        k, jnp.zeros((1, 64, 64, 3), dtype)))(jr.PRNGKey(1))
-    text_params = jax.jit(lambda k: text_model.init(
-        k, jnp.zeros((1, 77), jnp.int32)))(jr.PRNGKey(2))
 
     from ..diffusion import DiffusionSchedule
 

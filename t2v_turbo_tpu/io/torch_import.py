@@ -792,3 +792,202 @@ def _conv2d_or_tubelet(sd, prefix):
     if f"{prefix}.bias" in sd:
         out["bias"] = sd[f"{prefix}.bias"]
     return out
+
+
+# --------------------------------------------------------------------------
+# ModelScope diffusers multi-file layout (reference app_ms.py:181-227 loads
+# tokenizer/text_encoder/vae/unet subfolders via from_pretrained)
+# --------------------------------------------------------------------------
+
+
+def _diffusers_vae_to_orig(sd: StateDict) -> StateDict:
+    """Rename a diffusers AutoencoderKL state dict to the original SD/lvdm
+    layout so the existing `import_vae_params` mapping applies (inverse of
+    the reference's key converter,
+    model_scope/utils/convert_diffusers_to_original_ms_text_to_video.py).
+
+    Structural differences handled:
+    - down_blocks.{l}.resnets.{i} -> down.{l}.block.{i}; conv_shortcut ->
+      nin_shortcut; downsamplers.0.conv -> downsample.conv
+    - decoder up_blocks are indexed in EXECUTION order (0 = lowest res);
+      original up.{l} indexes by resolution level (runs n-1..0), so
+      up_blocks.{j} -> up.{n-1-j}
+    - mid_block.resnets.{0,1} -> mid.block_{1,2}; mid_block.attentions.0
+      {group_norm,to_q,to_k,to_v,to_out.0} -> mid.attn_1 {norm,q,k,v,
+      proj_out} (Linear weights; import_vae_params' 1x1-conv handler accepts
+      2-D kernels)
+    - conv_norm_out -> norm_out
+    """
+    import re
+
+    n_up = 0
+    for k in sd:
+        m = re.match(r"decoder\.up_blocks\.(\d+)\.", k)
+        if m:
+            n_up = max(n_up, int(m.group(1)) + 1)
+
+    out: StateDict = {}
+    for k, v in sd.items():
+        nk = k
+        nk = re.sub(r"mid_block\.resnets\.0\.", "mid.block_1.", nk)
+        nk = re.sub(r"mid_block\.resnets\.1\.", "mid.block_2.", nk)
+        nk = re.sub(r"mid_block\.attentions\.0\.group_norm\.", "mid.attn_1.norm.", nk)
+        nk = re.sub(r"mid_block\.attentions\.0\.to_q\.", "mid.attn_1.q.", nk)
+        nk = re.sub(r"mid_block\.attentions\.0\.to_k\.", "mid.attn_1.k.", nk)
+        nk = re.sub(r"mid_block\.attentions\.0\.to_v\.", "mid.attn_1.v.", nk)
+        nk = re.sub(
+            r"mid_block\.attentions\.0\.to_out\.0\.", "mid.attn_1.proj_out.", nk
+        )
+        nk = re.sub(r"down_blocks\.(\d+)\.resnets\.(\d+)\.", r"down.\1.block.\2.", nk)
+        nk = re.sub(
+            r"down_blocks\.(\d+)\.downsamplers\.0\.conv\.",
+            r"down.\1.downsample.conv.",
+            nk,
+        )
+        m = re.match(r"decoder\.up_blocks\.(\d+)\.(.+)", nk)
+        if m:
+            j, rest = int(m.group(1)), m.group(2)
+            rest = re.sub(r"^resnets\.(\d+)\.", r"block.\1.", rest)
+            rest = re.sub(r"^upsamplers\.0\.conv\.", "upsample.conv.", rest)
+            nk = f"decoder.up.{n_up - 1 - j}.{rest}"
+        nk = nk.replace("conv_shortcut", "nin_shortcut")
+        nk = nk.replace("conv_norm_out", "norm_out")
+        out[nk] = v
+    return out
+
+
+def import_diffusers_vae_params(
+    sd: StateDict, n_levels: Optional[int] = None, n_res: Optional[int] = None
+) -> Dict:
+    """diffusers AutoencoderKL state dict -> flax AutoencoderKL params.
+    Level/resblock counts are inferred from the key structure when not
+    given (SD-style VAEs: 4 levels x 2 resblocks)."""
+    import re
+
+    if n_levels is None or n_res is None:
+        lv, res = 0, 0
+        for k in sd:
+            m = re.match(r"encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.", k)
+            if m:
+                lv = max(lv, int(m.group(1)) + 1)
+                res = max(res, int(m.group(2)) + 1)
+        n_levels = n_levels if n_levels is not None else lv
+        n_res = n_res if n_res is not None else res
+    return import_vae_params(_diffusers_vae_to_orig(sd), n_levels, n_res)
+
+
+def import_hf_clip_text_model_params(sd: StateDict, quick_gelu: bool = True):
+    """HF transformers CLIPTextModel state dict -> (CLIPTextModel params,
+    inferred config kwargs). The MS backbone's text encoder
+    (reference app_ms.py:184-186 / t2v_turbo_ms_pipeline) is a CLIP text
+    tower in HF layout: separate q/k/v projections packed here into the
+    in_proj convention and the FULL layer stack (no penultimate trick).
+    quick_gelu should come from the HF config.json hidden_act (True for
+    openai CLIP-L; laion ViT-H towers use exact gelu)."""
+    tp = "text_model."
+    if not any(k.startswith(tp) for k in sd):
+        tp = ""  # bare CLIPTextModel state dicts have no wrapper prefix
+    emb = sd[f"{tp}embeddings.token_embedding.weight"]
+    vocab, width = emb.shape
+
+    p: Dict = {
+        "token_embedding": emb,
+        "positional_embedding": sd[f"{tp}embeddings.position_embedding.weight"],
+        "ln_final": _norm(sd, f"{tp}final_layer_norm"),
+    }
+    i = 0
+    while f"{tp}encoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        lp = f"{tp}encoder.layers.{i}"
+        qw = sd[f"{lp}.self_attn.q_proj.weight"]
+        kw = sd[f"{lp}.self_attn.k_proj.weight"]
+        vw = sd[f"{lp}.self_attn.v_proj.weight"]
+        qb = sd[f"{lp}.self_attn.q_proj.bias"]
+        kb = sd[f"{lp}.self_attn.k_proj.bias"]
+        vb = sd[f"{lp}.self_attn.v_proj.bias"]
+        p[f"resblocks_{i}"] = {
+            "ln_1": _norm(sd, f"{lp}.layer_norm1"),
+            "ln_2": _norm(sd, f"{lp}.layer_norm2"),
+            "in_proj": {
+                "kernel": np.ascontiguousarray(
+                    np.concatenate([qw, kw, vw], axis=0).T
+                ),
+                "bias": np.concatenate([qb, kb, vb], axis=0),
+            },
+            "out_proj": _lin(sd, f"{lp}.self_attn.out_proj"),
+            "c_fc": _lin(sd, f"{lp}.mlp.fc1"),
+            "c_proj": _lin(sd, f"{lp}.mlp.fc2"),
+        }
+        i += 1
+    cfg_kw = dict(
+        vocab_size=int(vocab),
+        width=int(width),
+        heads=int(width) // 64,
+        layers=i,
+        context_length=int(p["positional_embedding"].shape[0]),
+        penultimate=False,
+        quick_gelu=quick_gelu,
+    )
+    return p, cfg_kw
+
+
+def _find_weight_file(folder: str):
+    import glob as _glob
+    import os as _os
+
+    for pat in (
+        "diffusion_pytorch_model.bin",
+        "pytorch_model.bin",
+        "*.bin",
+        "*.safetensors",
+        "*.pt",
+        "*.ckpt",
+    ):
+        hits = sorted(_glob.glob(_os.path.join(folder, pat)))
+        if hits:
+            return hits[0]
+    raise FileNotFoundError(f"no weight file under {folder}")
+
+
+def load_state_dict_any(path: str) -> Dict[str, Array]:
+    """torch.load or safetensors, to numpy."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    return load_torch_state_dict(path)
+
+
+def load_ms_components(pretrained_dir: str, unet_kwargs: Optional[Dict] = None):
+    """Load the ModelScope diffusers multi-file layout
+    (reference app_ms.py:181-227): returns
+    {"unet": params, "vae": params, "text": params, "text_cfg": kwargs}.
+    The tokenizer subfolder is the standard CLIP BPE vocabulary — the
+    framework's self-contained CLIPTokenizer (t2v_turbo_tpu/assets) is
+    byte-identical, so no per-directory tokenizer state is needed."""
+    import os as _os
+
+    unet_sd = load_state_dict_any(
+        _find_weight_file(_os.path.join(pretrained_dir, "unet"))
+    )
+    vae_sd = load_state_dict_any(
+        _find_weight_file(_os.path.join(pretrained_dir, "vae"))
+    )
+    text_sd = load_state_dict_any(
+        _find_weight_file(_os.path.join(pretrained_dir, "text_encoder"))
+    )
+    quick_gelu = True
+    cfg_json = _os.path.join(pretrained_dir, "text_encoder", "config.json")
+    if _os.path.exists(cfg_json):
+        import json as _json
+
+        hf_cfg = _json.load(open(cfg_json))
+        quick_gelu = hf_cfg.get("hidden_act", "quick_gelu") == "quick_gelu"
+    text_params, text_cfg = import_hf_clip_text_model_params(
+        text_sd, quick_gelu=quick_gelu
+    )
+    return {
+        "unet": import_ms_unet_params(unet_sd, **(unet_kwargs or {})),
+        "vae": import_diffusers_vae_params(vae_sd),
+        "text": text_params,
+        "text_cfg": text_cfg,
+    }

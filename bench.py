@@ -125,6 +125,7 @@ def main():
                 "value": round(videos_per_min, 2),
                 "unit": "videos/min",
                 "vs_baseline": round(videos_per_min / A100_BASELINE_VIDEOS_PER_MIN, 2),
+                "baseline_estimated": True,  # reference publishes no numbers
                 "unet_step_ms": round(step_ms, 1),
             }
         )

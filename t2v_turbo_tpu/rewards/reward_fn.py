@@ -13,8 +13,8 @@ Names mirror the reference factory (reward_fn.py:342-358):
   pick               PickScore (CLIP-H weights in HF layout)
   weighted_hpsv2_clip  w0*hpsv2 + w1*clip
   vi_clip            ViCLIP-L video-text score
-  img_reward         ImageReward (BLIP) — not yet ported, raises
-  vi_clip2           InternVideo2-Stage2 1B — not yet ported, raises
+  img_reward         ImageReward (BLIP tower, rewards/blip.py)
+  vi_clip2           InternVideo2-Stage2 (rewards/internvideo2.py)
 """
 
 from __future__ import annotations

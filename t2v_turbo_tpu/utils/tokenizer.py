@@ -4,8 +4,9 @@ Implements the standard CLIP byte-pair-encoding scheme used by the OpenCLIP
 text tower the reference loads (reference lvdm/modules/encoders/condition.py:
 257-259 uses `open_clip.tokenize`; the equivalent vendored tokenizer lives at
 reference viclip/simple_tokenizer.py). The merges vocabulary is the public
-`bpe_simple_vocab_16e6.txt.gz` asset; its path is configurable via argument
-or the T2V_TPU_BPE_PATH env var so the repo carries no binary blob.
+`bpe_simple_vocab_16e6.txt.gz` asset (the standard OpenAI CLIP vocabulary),
+shipped in t2v_turbo_tpu/assets/ so the framework is self-contained; the
+path is overridable via argument or the T2V_TPU_BPE_PATH env var.
 """
 
 from __future__ import annotations
@@ -22,7 +23,6 @@ import regex as re
 _DEFAULT_PATHS = (
     os.environ.get("T2V_TPU_BPE_PATH", ""),
     os.path.join(os.path.dirname(__file__), "..", "assets", "bpe_simple_vocab_16e6.txt.gz"),
-    "/root/reference/viclip/bpe_simple_vocab_16e6.txt.gz",
 )
 
 SOT = "<|startoftext|>"

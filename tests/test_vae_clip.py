@@ -19,7 +19,10 @@ BPE_AVAILABLE = any(
     os.path.exists(p)
     for p in [
         os.environ.get("T2V_TPU_BPE_PATH", ""),
-        "/root/reference/viclip/bpe_simple_vocab_16e6.txt.gz",
+        os.path.join(
+            os.path.dirname(__file__), os.pardir, "t2v_turbo_tpu", "assets",
+            "bpe_simple_vocab_16e6.txt.gz",
+        ),
     ]
     if p
 )

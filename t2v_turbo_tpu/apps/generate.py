@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--use-motion-cond", action="store_true")
     p.add_argument("--percentage", type=float, default=0.3)
     p.add_argument("--num-videos", type=int, default=1)
+    p.add_argument("--data-shards", type=int, default=1,
+                   help="mesh data axis (videos in parallel across chips)")
+    p.add_argument("--seq-shards", type=int, default=1,
+                   help="mesh seq axis (frames sharded across chips for "
+                        "latency; temporal collectives ride ICI)")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--output", default="output.mp4")
     p.add_argument("--save-fps", type=int, default=8)
@@ -118,6 +123,11 @@ def build_pipeline(args):
         print("error: provide --checkpoint or pass --random-weights", file=sys.stderr)
         sys.exit(2)
 
+    mesh = None
+    if args.data_shards * args.seq_shards > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.data_shards, seq=args.seq_shards)
     return T2VTurboVC2Pipeline(
         unet=unet,
         unet_params=unet_params,
@@ -129,6 +139,7 @@ def build_pipeline(args):
         schedule=spec.make_schedule(),
         scale_factor=spec.scale_factor,
         dtype=dtype,
+        mesh=mesh,
     )
 
 

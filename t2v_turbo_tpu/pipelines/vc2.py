@@ -49,9 +49,16 @@ class T2VTurboVC2Pipeline:
     vae_scale: int = 8
     w_embedding_dim: int = 256
     dtype: Any = jnp.bfloat16
+    # Optional jax.sharding.Mesh with ("data", "seq", ...) axes: videos are
+    # sharded B->data, frames T->seq through the whole sampling scan (XLA
+    # inserts halo exchanges for the (3,1,1) temporal convs and all-gathers
+    # for temporal attention over ICI), and VAE decode spreads frames over
+    # every device. Params replicate lazily on first sharded call.
+    mesh: Any = None
 
     def __post_init__(self):
         self.scheduler = LCMScheduler(schedule=self.schedule)
+        self._params_placed = False
         self._encode_jit = jax.jit(
             lambda p, toks: self.text_model.apply(p, toks)
         )
@@ -202,6 +209,29 @@ class T2VTurboVC2Pipeline:
         w_emb = guidance_scale_embedding(w, self.w_embedding_dim).astype(self.dtype)
         fps_arr = jnp.full((bs,), float(fps))
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_n = self.mesh.shape.get("data", 1)
+            seq_n = self.mesh.shape.get("seq", 1)
+            if bs % data_n or frames % seq_n:
+                raise ValueError(
+                    f"sharded inference needs batch {bs} divisible by the "
+                    f"data axis ({data_n}) and frames {frames} by the seq "
+                    f"axis ({seq_n})"
+                )
+            bt = NamedSharding(self.mesh, P("data", "seq"))
+            row = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
+            latents = jax.device_put(latents, bt)
+            prompt_embeds = jax.device_put(prompt_embeds, row)
+            w_emb = jax.device_put(w_emb, row)
+            fps_arr = jax.device_put(fps_arr, row)
+            if not self._params_placed:
+                self.unet_params = jax.device_put(self.unet_params, rep)
+                self.vae_params = jax.device_put(self.vae_params, rep)
+                self._params_placed = True
+
         sample = self._sample_fn(
             num_inference_steps, lcm_origin_steps, use_motion_cond, percentage
         )
@@ -220,6 +250,16 @@ class T2VTurboVC2Pipeline:
 
         b, t, hh, ww, c = denoised.shape
         frames_flat = denoised.reshape(b * t, hh, ww, c).astype(self.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.devices.size
+            if (b * t) % n_dev == 0:
+                # decode spreads frames over ALL mesh devices
+                frames_flat = jax.device_put(
+                    frames_flat,
+                    NamedSharding(self.mesh, P(tuple(self.mesh.axis_names))),
+                )
         chunk = decode_frame_chunk or b * t
         outs = [
             self._decode_jit(self.vae_params, frames_flat[i : i + chunk])

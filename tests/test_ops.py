@@ -167,6 +167,62 @@ class TestFlashAttentionBSHD:
         np.testing.assert_allclose(out, attention_xla_bshd(q, k, v), atol=1e-5)
 
 
+class TestFusedGNSiLUConv:
+    """Pallas GN+SiLU+conv kernel vs the unfused XLA composition."""
+
+    @pytest.mark.parametrize(
+        "n,h,w,c,o,kh,kw",
+        [
+            (2, 8, 8, 32, 64, 3, 3),   # spatial 3x3
+            (1, 4, 16, 32, 32, 3, 1),  # temporal (3,1), W-tiled path
+            (2, 12, 8, 64, 32, 3, 3),  # row-chunk remainder (12 % 8 != 0)
+        ],
+    )
+    def test_matches_reference(self, n, h, w, c, o, kh, kw):
+        from t2v_turbo_tpu.ops.fused_conv import (
+            _reference_impl,
+            fused_gn_silu_conv,
+        )
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        gs = jnp.asarray(rng.randn(c), jnp.float32)
+        gb = jnp.asarray(rng.randn(c), jnp.float32)
+        wk = jnp.asarray(rng.randn(kh, kw, c, o) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.randn(o), jnp.float32)
+        got = fused_gn_silu_conv(x, gs, gb, wk, bias)
+        want = _reference_impl(x, gs, gb, wk, bias, 32, 1e-5)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def test_film_and_grad(self):
+        from t2v_turbo_tpu.ops.fused_conv import (
+            _reference_impl,
+            fused_gn_silu_conv,
+        )
+
+        rng = np.random.RandomState(1)
+        n, h, w, c, o = 2, 8, 8, 32, 32
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        gs = jnp.ones((c,), jnp.float32)
+        gb = jnp.zeros((c,), jnp.float32)
+        wk = jnp.asarray(rng.randn(3, 3, c, o) * 0.05, jnp.float32)
+        bias = jnp.zeros((o,), jnp.float32)
+        fs = jnp.asarray(rng.randn(n, c) * 0.1, jnp.float32)
+        fh = jnp.asarray(rng.randn(n, c) * 0.1, jnp.float32)
+        got = fused_gn_silu_conv(x, gs, gb, wk, bias, film_scale=fs, film_shift=fh)
+        want = _reference_impl(x, gs, gb, wk, bias, 32, 1e-5, fs, fh)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+        f = lambda x, wk: jnp.sum(fused_gn_silu_conv(x, gs, gb, wk, bias) ** 2)
+        r = lambda x, wk: jnp.sum(
+            _reference_impl(x, gs, gb, wk, bias, 32, 1e-5) ** 2
+        )
+        gx, gw = jax.grad(f, (0, 1))(x, wk)
+        rx, rw = jax.grad(r, (0, 1))(x, wk)
+        np.testing.assert_allclose(gx, rx, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(gw, rw, atol=1e-3, rtol=1e-4)
+
+
 class TestNorms:
     def test_group_norm_matches_torch_semantics(self):
         torch = pytest.importorskip("torch")

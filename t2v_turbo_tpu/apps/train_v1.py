@@ -27,6 +27,10 @@ def parse_args(argv=None):
     p.add_argument("--tiny-model", action="store_true",
                    help="small UNet (CI / smoke)")
     p.add_argument("--data-shards", default=None, help="glob of webdataset tars")
+    p.add_argument("--prefix-weights", default=None,
+                   help="mixture-of-prefixes shard resampling, e.g. "
+                        "'path/a=0.7,path/b=0.3' (reference custom_wds.py "
+                        "PrefixResampler)")
     p.add_argument("--data-csv", default=None, help="CSV of mp4 paths+captions")
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--output-dir", default="runs/v1")
@@ -384,11 +388,18 @@ def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
     if args.data_shards:
         from ..data.webdata import WebVideoDataset
 
+        prefix_weights = None
+        if args.prefix_weights:
+            prefix_weights = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in args.prefix_weights.split(","))
+            }
         ds = WebVideoDataset(
             sorted(glob.glob(args.data_shards)),
             batch_size=b,
             n_frames=frames,
             size_hw=(args.height, args.width),
+            prefix_weights=prefix_weights,
         )
         raw_iter = iter(ds)
     elif args.data_csv:

@@ -97,6 +97,36 @@ def decode_sample_video(
         return None  # warn_and_continue
 
 
+def resample_shards_by_prefix(
+    shards: Sequence[str],
+    weights: dict,
+    seed: int = 0,
+) -> Iterator[str]:
+    """Mixture-of-prefixes shard stream (reference
+    data/dataloader/custom_wds.py:312-393 PrefixResampler): each draw picks
+    a prefix with probability proportional to its weight, then a shard
+    uniformly WITHOUT replacement from that prefix's pool, refilling a pool
+    only when it empties. Prefixes with no matching shards are dropped and
+    the remaining weights renormalized. Infinite iterator."""
+    pools = {p: [s for s in shards if s.startswith(p)] for p in weights}
+    pools = {p: v for p, v in pools.items() if v}
+    if not pools:
+        raise ValueError(
+            f"no shard matches any prefix {list(weights)} (have "
+            f"{len(shards)} shards)"
+        )
+    names = list(pools)
+    ps = np.asarray([float(weights[p]) for p in names])
+    ps = ps / ps.sum()
+    rng = np.random.RandomState(seed)
+    avail = {p: list(v) for p, v in pools.items()}
+    while True:
+        p = names[rng.choice(len(names), p=ps)]
+        if not avail[p]:
+            avail[p] = list(pools[p])
+        yield avail[p].pop(rng.randint(len(avail[p])))
+
+
 class WebVideoDataset:
     """Iterable: tar shards -> batches
     {video: (B,T,H,W,3) float32 [-1,1], txt: [str], json: [dict]}."""
@@ -116,6 +146,7 @@ class WebVideoDataset:
         split_by_host: bool = True,
         loop: bool = True,
         normalize: bool = True,
+        prefix_weights: Optional[dict] = None,
     ):
         self.shards = list(shards)
         if split_by_host:
@@ -131,14 +162,26 @@ class WebVideoDataset:
         self.seed = seed
         self.loop = loop
         self.normalize = normalize
+        self.prefix_weights = prefix_weights
+
+    def _shard_stream(self, rng, epoch: int):
+        """One epoch's worth of shard paths: plain shuffle, or the
+        mixture-of-prefixes resampler when prefix_weights is set."""
+        if self.prefix_weights:
+            it = resample_shards_by_prefix(
+                self.shards, self.prefix_weights, seed=self.seed + epoch
+            )
+            return [next(it) for _ in range(len(self.shards))]
+        shards = list(self.shards)
+        if self.shuffle_shards:
+            rng.shuffle(shards)
+        return shards
 
     def _samples(self) -> Iterator[dict]:
         rng = random.Random(self.seed)
         epoch = 0
         while True:
-            shards = list(self.shards)
-            if self.shuffle_shards:
-                rng.shuffle(shards)
+            shards = self._shard_stream(rng, epoch)
             buf: List[dict] = []
             for shard in shards:
                 try:

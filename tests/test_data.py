@@ -165,6 +165,59 @@ class TestWebData:
 
 
 @pytest.mark.skipif(not NATIVE, reason="native videoio not built")
+class TestPrefixResampler:
+    """Mixture-of-prefixes shard resampling (reference custom_wds.py:312)."""
+
+    def test_mixture_proportions(self):
+        from t2v_turbo_tpu.data.webdata import resample_shards_by_prefix
+
+        shards = [f"a/{i}.tar" for i in range(10)] + [f"b/{i}.tar" for i in range(10)]
+        it = resample_shards_by_prefix(shards, {"a/": 0.8, "b/": 0.2}, seed=0)
+        draws = [next(it) for _ in range(4000)]
+        frac_a = sum(d.startswith("a/") for d in draws) / len(draws)
+        assert 0.75 < frac_a < 0.85
+
+    def test_without_replacement_until_refill(self):
+        from t2v_turbo_tpu.data.webdata import resample_shards_by_prefix
+
+        shards = [f"a/{i}.tar" for i in range(5)]
+        it = resample_shards_by_prefix(shards, {"a/": 1.0}, seed=1)
+        first_epoch = [next(it) for _ in range(5)]
+        assert sorted(first_epoch) == sorted(shards)  # each exactly once
+        second = [next(it) for _ in range(5)]
+        assert sorted(second) == sorted(shards)
+
+    def test_empty_prefix_dropped(self):
+        from t2v_turbo_tpu.data.webdata import resample_shards_by_prefix
+
+        shards = [f"a/{i}.tar" for i in range(3)]
+        it = resample_shards_by_prefix(
+            shards, {"a/": 0.5, "missing/": 0.5}, seed=2
+        )
+        assert all(next(it).startswith("a/") for _ in range(20))
+
+    def test_no_match_raises(self):
+        import pytest as _pytest
+
+        from t2v_turbo_tpu.data.webdata import resample_shards_by_prefix
+
+        with _pytest.raises(ValueError):
+            next(resample_shards_by_prefix(["x.tar"], {"nope/": 1.0}))
+
+    def test_dataset_integration(self, tmp_path):
+        """WebVideoDataset draws its epoch shard list from the resampler."""
+        from t2v_turbo_tpu.data.webdata import WebVideoDataset
+
+        ds = WebVideoDataset(
+            [f"a/{i}.tar" for i in range(4)] + ["b/0.tar"],
+            prefix_weights={"a/": 1.0, "b/": 0.0},
+            split_by_host=False,
+        )
+        epoch = ds._shard_stream(None, 0)
+        assert len(epoch) == 5
+        assert all(p.startswith("a/") for p in epoch)
+
+
 class TestDatasets:
     def test_mp4_dataset(self, tmp_path):
         from t2v_turbo_tpu.data.datasets import MP4Dataset

@@ -1,12 +1,16 @@
 """HTTP serving app — the reference's gradio demo surface (app.py:201-392)
-as a dependency-free JSON API.
+as a dependency-free JSON API plus a static browser UI.
 
   python -m t2v_turbo_tpu.apps.serve --random-weights --tiny --port 7860
 
+  GET  /          -> browser demo (prompt box, knobs, examples, gallery —
+                     the app.py gradio UI equivalents, zero dependencies)
   POST /generate {"prompt": "...", "steps": 4, "frames": 16, "seed": 123,
                   "guidance_scale": 7.5, "fps": 16}
-    -> {"path": "outputs/xxxx.mp4", "latency_s": ..., "shape": [...]}
-  GET /healthz -> {"status": "ok", "device": "...", "compiled_shapes": [...]}
+    -> {"path": "outputs/xxxx.mp4", "video_url": "/videos/xxxx.mp4", ...}
+  GET  /videos/<name>.mp4 -> the rendered clip
+  GET  /gallery -> JSON list of this session's generations
+  GET  /healthz -> {"status": "ok", "device": "...", "compiled_shapes": [...]}
 
 The pipeline's per-shape jit cache means the first request at a new
 (frames, steps) operating point pays compile; later requests are pure
@@ -22,6 +26,80 @@ import os
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+# Example prompts: the reference demo's flavor (app.py examples) using the
+# fixed validation set from training/validation.py for comparability.
+_EXAMPLE_PROMPTS = [
+    "An astronaut riding a horse.",
+    "A cat eating food out of a bowl, in style of van Gogh.",
+    "A dog wearing a superhero outfit with red cape flying through the sky.",
+    "A panda drinking coffee in a cafe in Paris.",
+    "A musk ox grazing on beautiful wildflowers.",
+]
+
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>T2V-Turbo TPU</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:880px;margin:2rem auto;
+      padding:0 1rem;color:#222}
+ h1{font-size:1.4rem} .row{display:flex;gap:.6rem;flex-wrap:wrap;
+      align-items:center;margin:.4rem 0}
+ textarea{width:100%;height:3.2rem;font-size:1rem;padding:.4rem}
+ label{font-size:.85rem;color:#555} input[type=number]{width:5.5rem}
+ button{padding:.5rem 1.2rem;font-size:1rem;cursor:pointer}
+ .ex{cursor:pointer;color:#06c;font-size:.85rem;margin-right:.8rem}
+ #status{color:#777;font-size:.9rem;min-height:1.2rem}
+ #gallery{display:flex;flex-wrap:wrap;gap:.8rem;margin-top:1rem}
+ #gallery figure{margin:0;width:256px}
+ #gallery video{width:100%%;border-radius:6px;background:#000}
+ #gallery figcaption{font-size:.75rem;color:#666;word-break:break-word}
+</style></head><body>
+<h1>T2V-Turbo (TPU) — text to video</h1>
+<textarea id="prompt" placeholder="Describe the video..."></textarea>
+<div class="row" id="examples"></div>
+<div class="row">
+ <label>steps <input id="steps" type="number" value="4" min="1" max="16"></label>
+ <label>frames <input id="frames" type="number" value="16" min="8" max="48"></label>
+ <label>guidance <input id="gs" type="number" value="7.5" step="0.5"></label>
+ <label>seed <input id="seed" type="number" value="123"></label>
+ <label>fps <input id="fps" type="number" value="16" min="8" max="32"></label>
+ <button id="go">Generate</button>
+</div>
+<div id="status"></div>
+<div id="gallery"></div>
+<script>
+const EXAMPLES = %EXAMPLES%;
+const ex = document.getElementById('examples');
+EXAMPLES.forEach(p => { const a=document.createElement('span');
+  a.className='ex'; a.textContent=p;
+  a.onclick=()=>{document.getElementById('prompt').value=p;}; ex.appendChild(a);});
+async function refresh(){
+  const g = await (await fetch('/gallery')).json();
+  const el = document.getElementById('gallery'); el.innerHTML='';
+  g.slice().reverse().forEach(it => {
+    const f=document.createElement('figure');
+    f.innerHTML=`<video src="${it.video_url}" controls loop muted autoplay></video>
+      <figcaption>${it.prompt} — ${it.latency_s}s</figcaption>`;
+    el.appendChild(f);});
+}
+document.getElementById('go').onclick = async () => {
+  const s=document.getElementById('status');
+  const body={prompt:document.getElementById('prompt').value,
+    steps:+document.getElementById('steps').value,
+    frames:+document.getElementById('frames').value,
+    guidance_scale:+document.getElementById('gs').value,
+    seed:+document.getElementById('seed').value,
+    fps:+document.getElementById('fps').value};
+  if(!body.prompt){s.textContent='enter a prompt';return;}
+  s.textContent='generating... (first request at a new shape compiles)';
+  const r=await fetch('/generate',{method:'POST',body:JSON.stringify(body)});
+  const j=await r.json();
+  s.textContent = r.ok ? `done in ${j.latency_s}s` : `error: ${j.error}`;
+  refresh();
+};
+refresh();
+</script></body></html>"""
 
 
 def parse_args(argv=None):
@@ -67,12 +145,29 @@ def main(argv=None):
     enable_persistent_cache()
     # generate.build_pipeline doesn't read lora for random mode; reuse as-is
     pipe = build_pipeline(a)
+    server = make_server(pipe, args)
+    print(
+        f"serving on http://{args.host}:{args.port} "
+        f"(device {jax.devices()[0]})"
+    )
+    server.serve_forever()
+
+
+def make_server(pipe, args) -> ThreadingHTTPServer:
+    """Build the HTTP server around any pipeline object (tests inject a
+    stub; main() passes the real one)."""
+    import jax
+
     os.makedirs(args.output_dir, exist_ok=True)
 
     from ..io.video import save_video
     from ..pipelines.vc2 import video_to_uint8
 
     device = str(jax.devices()[0])
+    gallery: list = []
+    index_html = _INDEX_HTML.replace(
+        "%EXAMPLES%", json.dumps(_EXAMPLE_PROMPTS)
+    ).replace("%%", "%").encode()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet
@@ -86,15 +181,32 @@ def main(argv=None):
             self.end_headers()
             self.wfile.write(body)
 
+        def _bytes(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                return self._bytes(200, index_html, "text/html; charset=utf-8")
             if self.path == "/healthz":
-                self._json(200, {
+                return self._json(200, {
                     "status": "ok",
                     "device": device,
                     "compiled_shapes": [list(k) for k in pipe._sample_jit_cache],
                 })
-            else:
-                self._json(404, {"error": "not found"})
+            if self.path == "/gallery":
+                return self._json(200, gallery)
+            if self.path.startswith("/videos/"):
+                name = os.path.basename(self.path)
+                fp = os.path.join(args.output_dir, name)
+                if os.path.exists(fp) and name.endswith(".mp4"):
+                    with open(fp, "rb") as f:
+                        return self._bytes(200, f.read(), "video/mp4")
+                return self._json(404, {"error": "no such video"})
+            self._json(404, {"error": "not found"})
 
         def do_POST(self):
             if self.path != "/generate":
@@ -123,17 +235,20 @@ def main(argv=None):
                     frames_u8, os.path.join(args.output_dir, name),
                     fps=int(req.get("save_fps", 8)),
                 )
-                self._json(200, {
+                entry = {
                     "path": path,
+                    "video_url": f"/videos/{name}",
+                    "prompt": prompt,
                     "latency_s": round(time.time() - t0, 3),
                     "shape": list(frames_u8.shape),
-                })
+                }
+                gallery.append(entry)
+                del gallery[:-50]  # bound the in-memory gallery
+                self._json(200, entry)
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
-    server = ThreadingHTTPServer((args.host, args.port), Handler)
-    print(f"serving on http://{args.host}:{args.port} (device {device})")
-    server.serve_forever()
+    return ThreadingHTTPServer((args.host, args.port), Handler)
 
 
 if __name__ == "__main__":

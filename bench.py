@@ -26,6 +26,94 @@ import jax.numpy as jnp
 A100_BASELINE_VIDEOS_PER_MIN = 12.0
 
 
+def train_bench():
+    """Optional `python bench.py --train`: full-size v1 LCD training-step
+    throughput (LoRA r=64 student + frozen teacher, bs=1, 16x40x64 latents,
+    bf16 + remat — the reference's per-rank recipe,
+    train_t2v_turbo_v1.sh). Prints one JSON line with samples/sec."""
+    import optax
+
+    from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
+    from t2v_turbo_tpu.models import UNetConfig, UNetModel
+    from t2v_turbo_tpu.training.lcd import LCDConfig
+    from t2v_turbo_tpu.training.trainer import LCDTrainer, TrainerConfig
+    from t2v_turbo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    dtype = jnp.bfloat16
+    cfg = UNetConfig(time_cond_proj_dim=256)
+    student = UNetModel(cfg=cfg, dtype=dtype, use_remat=True)
+    tcfg = UNetConfig(**{**cfg.__dict__, "time_cond_proj_dim": None})
+    teacher = UNetModel(cfg=tcfg, dtype=dtype, use_remat=True)
+
+    b, t, lh, lw = 1, 16, 40, 64
+    x = jnp.zeros((b, t, lh, lw, 4), dtype)
+    ts = jnp.zeros((b,), jnp.int32)
+    ctx = jnp.zeros((b, 77, 1024), dtype)
+    fps = jnp.full((b,), 16.0)
+    t0 = time.time()
+    sp = jax.jit(
+        lambda k: student.init(
+            k, x, ts, ctx, fps=fps, timestep_cond=jnp.zeros((b, 256), dtype)
+        )
+    )(jax.random.PRNGKey(0))
+    tp = jax.jit(lambda k: teacher.init(k, x, ts, ctx, fps=fps))(
+        jax.random.PRNGKey(1)
+    )
+    jax.block_until_ready((sp, tp))
+    print(f"# init: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    sched = DiffusionSchedule.create()
+    solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+    trainer = LCDTrainer(
+        student_apply=lambda p, z, tt, c, fps=None, timestep_cond=None: (
+            student.apply(p, z, tt, c, fps=fps, timestep_cond=timestep_cond)
+        ),
+        teacher_apply=lambda p, z, tt, c, fps=None: teacher.apply(
+            p, z, tt, c, fps=fps
+        ),
+        teacher_params=tp,
+        student_params=sp,
+        sched=sched,
+        solver=solver,
+        lcd_cfg=LCDConfig(),
+        optimizer=optax.adamw(1e-5),
+        cfg=TrainerConfig(output_dir="/tmp/bench_train", lora_rank=64),
+    )
+    rng = np.random.RandomState(0)
+    batch = trainer.shard_batch(
+        {
+            "latents": rng.randn(b, t, lh, lw, 4).astype(np.float32),
+            "ctx": rng.randn(b, 77, 1024).astype(np.float32),
+            "uncond_ctx": np.zeros((b, 77, 1024), np.float32),
+            "fps": np.full((b,), 16.0, np.float32),
+        }
+    )
+    key = jax.random.PRNGKey(2)
+    t0 = time.time()
+    trainer.state, m = trainer._step_jit(trainer.state, batch, key)
+    _ = float(m["loss"])  # host transfer fences completion
+    print(f"# compile+first step: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    n = 8
+    t0 = time.time()
+    for _ in range(n):
+        trainer.state, m = trainer._step_jit(trainer.state, batch, key)
+    _ = float(m["loss"])
+    step_s = (time.time() - t0) / n
+    print(
+        json.dumps(
+            {
+                "metric": "lcd_v1_train_samples_per_sec_bs1_16f_320x512",
+                "value": round(b / step_s, 3),
+                "unit": "samples/sec",
+                "step_ms": round(step_s * 1e3, 1),
+                "lora_rank": 64,
+            }
+        )
+    )
+
+
 def main():
     from t2v_turbo_tpu.utils.cache import enable_persistent_cache
 
@@ -133,4 +221,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        train_bench()
+    else:
+        main()

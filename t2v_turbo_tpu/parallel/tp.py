@@ -1,0 +1,74 @@
+"""Tensor parallelism for the UNet attention blocks over the mesh's
+"model" axis.
+
+The reference has no TP at all (SURVEY.md §2.9: DDP only), so this is a
+TPU-native capability, not a port: TP here is purely *declarative* — the
+attention projection kernels get PartitionSpecs and GSPMD inserts the
+all-reduces. Megatron-style column/row split:
+
+- to_q/to_k/to_v kernels (in, out): split the OUTPUT dim -> each shard
+  computes its subset of heads (the reshape to (B, S, H, D) keeps the
+  sharding on H),
+- to_out kernel (in, out): split the INPUT dim -> partial products are
+  psum'ed by XLA right where DDP's gradient sync already runs,
+- everything else (convs, norms, embeddings, FF) replicated; the GEGLU FF
+  is excluded because its jnp.split at the inner boundary would force a
+  reshard mid-block.
+
+Head counts must divide the model-axis size; `tp_param_shardings` checks
+this per leaf and leaves non-conforming kernels replicated rather than
+failing.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _path_str(path) -> str:
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "idx"):
+            out.append(str(p.idx))
+        else:
+            out.append(str(p))
+    return "/".join(out)
+
+
+def tp_spec_for(path_str: str, leaf) -> P:
+    """PartitionSpec for one UNet param leaf under model-axis TP."""
+    if getattr(leaf, "ndim", 0) != 2 or not path_str.endswith("kernel"):
+        return P()
+    if any(f"/{n}/" in path_str for n in ("to_q", "to_k", "to_v")):
+        return P(None, "model")  # column parallel (per-head split)
+    if "/to_out/" in path_str:
+        return P("model", None)  # row parallel (psum on output)
+    return P()
+
+
+def tp_param_shardings(mesh: Mesh, params) -> Any:
+    """NamedShardings mirroring `params` with attention kernels split over
+    the "model" axis (kernels whose dim doesn't divide the axis stay
+    replicated)."""
+    model_n = mesh.shape.get("model", 1)
+
+    def to_sharding(path, leaf):
+        spec = tp_spec_for(_path_str(path), leaf)
+        # divisibility guard: fall back to replication
+        for dim, axis in enumerate(spec):
+            if axis == "model" and leaf.shape[dim] % model_n:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params_tp(mesh: Mesh, params):
+    """device_put `params` with TP shardings over `mesh`."""
+    return jax.device_put(params, tp_param_shardings(mesh, params))

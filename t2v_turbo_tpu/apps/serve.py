@@ -117,6 +117,8 @@ def parse_args(argv=None):
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true", help="tiny dims for smoke")
+    p.add_argument("--data-shards", type=int, default=1)
+    p.add_argument("--seq-shards", type=int, default=1)
     return p.parse_args(argv)
 
 
@@ -132,7 +134,7 @@ def main(argv=None):
 
     a = A()
     for k in ("config", "checkpoint", "unet_ckpt", "lora_ckpt", "random_weights",
-              "frames", "height", "width"):
+              "frames", "height", "width", "data_shards", "seq_shards"):
         setattr(a, k, getattr(args, k, None))
     a.cpu = args.cpu
 

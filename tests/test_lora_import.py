@@ -1,32 +1,23 @@
-"""Parity of the unet_lora.pt import path against the reference LoRA lib:
-order check via the real reference UNet on the torch meta device, and a
-full functional check (inject -> randomize -> save -> collapse in torch vs
-import -> fold in JAX)."""
+"""Parity of the unet_lora.pt import path against the reference LoRA lib,
+via committed golden fixtures: the reference's named_modules() order list,
+a pre-collapse base state dict, the saved LoRA weight list, and the
+torch-collapsed state dict. When the golden is missing it is regenerated
+live from torch + the reference mount (inject -> randomize -> save ->
+collapse_lora) and saved."""
 
 import sys
 
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
+import jax.numpy as jnp
 
-import jax.numpy as jnp  # noqa: E402
+import goldens
+from t2v_turbo_tpu.io.lora_import import apply_lora_pt, lora_module_order
+from t2v_turbo_tpu.io.torch_import import import_unet_params
+from t2v_turbo_tpu.models import UNetConfig, UNetModel
 
 REF = "/root/reference"
-if REF not in sys.path:
-    sys.path.insert(0, REF)
-
-from conftest import stub_module  # noqa: E402
-
-for _name in ("torchvision", "torchvision.io", "torchvision.utils", "cv2"):
-    stub_module(_name)
-
-from t2v_turbo_tpu.io.lora_import import (  # noqa: E402
-    apply_lora_pt,
-    lora_module_order,
-)
-from t2v_turbo_tpu.io.torch_import import import_unet_params  # noqa: E402
-from t2v_turbo_tpu.models import UNetConfig, UNetModel  # noqa: E402
 
 TINY_KW = dict(
     in_channels=4,
@@ -57,64 +48,83 @@ TINY_CFG = UNetConfig(
 )
 
 
-def ref_unet():
-    from lvdm.modules.networks.openaimodel3d import UNetModel as RefUNet
+def _gen_golden():
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from conftest import stub_module
 
-    torch.manual_seed(0)
-    return RefUNet(**TINY_KW)
+    for _name in ("torchvision", "torchvision.io", "torchvision.utils", "cv2"):
+        stub_module(_name)
+    from lvdm.modules.networks.openaimodel3d import UNetModel as RefUNet
+    from utils.lora import (
+        collapse_lora,
+        extract_lora_ups_down,
+        inject_trainable_lora_extended,
+        monkeypatch_remove_lora,
+    )
+
+    def ref_unet():
+        torch.manual_seed(0)
+        return RefUNet(**TINY_KW)
+
+    ref = ref_unet()
+    order = [
+        name
+        for name, mod in ref.named_modules()
+        if isinstance(mod, (torch.nn.Linear, torch.nn.Conv2d, torch.nn.Conv3d))
+    ]
+    pre_sd = {k: v.detach().numpy() for k, v in ref_unet().state_dict().items()}
+
+    inject_trainable_lora_extended(ref, {"UNetModel"}, r=2)
+    g = torch.Generator().manual_seed(1)
+    for up, down in extract_lora_ups_down(ref, {"UNetModel"}):
+        with torch.no_grad():
+            up.weight.copy_(torch.randn(up.weight.shape, generator=g) * 0.05)
+    weights = []
+    for up, down in extract_lora_ups_down(ref, {"UNetModel"}):
+        weights.append(up.weight.detach().float().numpy())
+        weights.append(down.weight.detach().float().numpy())
+    collapse_lora(ref, {"UNetModel"})
+    monkeypatch_remove_lora(ref)
+    collapsed_sd = {k: v.detach().numpy() for k, v in ref.eval().state_dict().items()}
+
+    gold = {"order": np.asarray(order)}
+    gold.update({f"pre_sd.{k}": v for k, v in pre_sd.items()})
+    gold.update({f"collapsed_sd.{k}": v for k, v in collapsed_sd.items()})
+    gold.update({f"lora.{i:04d}": w for i, w in enumerate(weights)})
+    return gold
+
+
+@pytest.fixture(scope="module")
+def gold():
+    g = goldens.load("vc2_lora_tiny")
+    if g is None:
+        g = _gen_golden()
+        goldens.save("vc2_lora_tiny", g)
+    return g
 
 
 class TestOrderParity:
-    def test_module_order_matches_reference(self):
+    def test_module_order_matches_reference(self, gold):
         """lora_module_order must equal the reference named_modules() DFS
         over Linear/Conv2d/Conv3d (the unet_lora.pt tensor order)."""
-        ref = ref_unet()
-        expected = [
-            name
-            for name, mod in ref.named_modules()
-            if isinstance(mod, (torch.nn.Linear, torch.nn.Conv2d, torch.nn.Conv3d))
-        ]
+        expected = [str(s) for s in gold["order"]]
         ours = [name for name, _ in lora_module_order(TINY_CFG)]
         assert ours == expected
 
 
 class TestCollapseParity:
-    def test_fold_matches_torch_collapse(self):
-        """Inject LoRA into the torch reference, randomize factors, save the
-        weight list, collapse in torch; the JAX import must reproduce the
-        collapsed model's forward output."""
-        from utils.lora import (
-            collapse_lora,
-            extract_lora_ups_down,
-            inject_trainable_lora_extended,
-            monkeypatch_remove_lora,
-        )
+    def test_fold_matches_torch_collapse(self, gold):
+        """Importing the torch-collapsed weights and importing the
+        pre-collapse base + folding the saved LoRA list must produce the
+        same forward output."""
+        pre_sd = goldens.subdict(gold, "pre_sd")
+        collapsed_sd = goldens.subdict(gold, "collapsed_sd")
+        n = len([k for k in gold if k.startswith("lora.")])
+        weights = [gold[f"lora.{i:04d}"] for i in range(n)]
 
-        ref = ref_unet()
-        inject_trainable_lora_extended(ref, {"UNetModel"}, r=2)
-        # randomize up factors (zero-init by default -> no-op otherwise)
-        g = torch.Generator().manual_seed(1)
-        for up, down in extract_lora_ups_down(ref, {"UNetModel"}):
-            with torch.no_grad():
-                up.weight.copy_(torch.randn(up.weight.shape, generator=g) * 0.05)
-
-        weights = []
-        for up, down in extract_lora_ups_down(ref, {"UNetModel"}):
-            weights.append(up.weight.detach().float().numpy())
-            weights.append(down.weight.detach().float().numpy())
-
-        collapse_lora(ref, {"UNetModel"})
-        monkeypatch_remove_lora(ref)
-        ref = ref.eval()
-
-        base_sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-        # base_sd is ALREADY collapsed; rebuild the pre-collapse base by
-        # subtracting? Instead: import collapsed weights directly as oracle,
-        # and separately import the pre-collapse base + apply_lora_pt.
-        ref2 = ref_unet()  # same seed -> same base weights
-        pre_sd = {k: v.detach().numpy() for k, v in ref2.state_dict().items()}
-
-        params_collapsed = {"params": import_unet_params(base_sd, TINY_CFG)}
+        params_collapsed = {"params": import_unet_params(collapsed_sd, TINY_CFG)}
         params_folded = apply_lora_pt(
             {"params": import_unet_params(pre_sd, TINY_CFG)}, weights, TINY_CFG
         )

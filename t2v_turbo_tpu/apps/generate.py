@@ -172,6 +172,14 @@ def build_ms_pipeline(args):
             unet_params = {"params": import_ms_unet_params(
                 load_torch_state_dict(args.unet_ckpt)
             )}
+        if args.lora_ckpt:
+            # reference app_ms.py:206-215: LoRA r=32 folded into the base
+            # UNet (collapse_lora + monkeypatch_remove_lora)
+            from ..io.lora_import import apply_lora_pt_ms, load_lora_pt
+
+            unet_params = apply_lora_pt_ms(
+                unet_params, load_lora_pt(args.lora_ckpt), ucfg
+            )
         vae_params = {"params": comps["vae"]}
         text_model = CLIPTextModel(
             cfg=CLIPTextConfig(**comps["text_cfg"]), dtype=dtype

@@ -105,6 +105,11 @@ refresh();
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="T2V-Turbo TPU server")
     p.add_argument("--config", default="configs/vc2_t2v_512.yaml")
+    p.add_argument("--backbone", default="vc2", choices=["vc2", "ms"],
+                   help="VideoCrafter2 (app.py parity) or ModelScope "
+                        "(app_ms.py parity)")
+    p.add_argument("--ms-dir", default=None,
+                   help="diffusers multi-file dir for --backbone ms")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--unet-ckpt", default=None)
     p.add_argument("--lora-ckpt", default=None)
@@ -133,7 +138,8 @@ def main(argv=None):
         pass
 
     a = A()
-    for k in ("config", "checkpoint", "unet_ckpt", "lora_ckpt", "random_weights",
+    for k in ("config", "backbone", "ms_dir", "checkpoint", "unet_ckpt",
+              "lora_ckpt", "random_weights",
               "frames", "height", "width", "data_shards", "seq_shards"):
         setattr(a, k, getattr(args, k, None))
     a.cpu = args.cpu

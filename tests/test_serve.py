@@ -95,3 +95,23 @@ def test_404(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_parse_args_ms_backbone_plumbing():
+    """--backbone ms / --ms-dir parse and reach build_pipeline's arg surface
+    (app_ms.py-parity serving; the pipeline build itself is covered by
+    test_unet_ms.py::TestMSPipeline)."""
+    from t2v_turbo_tpu.apps.serve import parse_args
+
+    args = parse_args(
+        ["--backbone", "ms", "--ms-dir", "/tmp/msdir", "--random-weights"]
+    )
+    assert args.backbone == "ms" and args.ms_dir == "/tmp/msdir"
+    # the adapter in main() copies these keys verbatim; keep them in sync
+    import inspect
+
+    from t2v_turbo_tpu.apps import serve
+
+    src = inspect.getsource(serve.main)
+    for k in ("backbone", "ms_dir"):
+        assert f'"{k}"' in src

@@ -29,7 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", default=None, help="VideoCrafter2 model.ckpt")
     p.add_argument("--unet-ckpt", default=None, help="LCM student unet.pt (v2) or collapsed-LoRA weights")
     p.add_argument("--lora-ckpt", default=None,
-                   help="cloneofsimo unet_lora.pt (v1); folded into the base UNet")
+                   help="cloneofsimo unet_lora.pt (v1) or this trainer's "
+                        "unet_lora.npz; folded into the base UNet")
     p.add_argument("--ms-dir", default=None,
                    help="ModelScope diffusers multi-file directory with "
                         "unet/ vae/ text_encoder/ subfolders "
@@ -95,11 +96,19 @@ def build_pipeline(args):
             unet_sd = load_torch_state_dict(args.unet_ckpt)
         unet_params = {"params": import_unet_params(unet_sd, spec.unet)}
         if args.lora_ckpt:
-            from ..io.lora_import import apply_lora_pt, load_lora_pt
+            if args.lora_ckpt.endswith(".npz"):
+                # this repo's trainer export (lora.save_lora_npz)
+                from ..lora import load_lora_npz, merge_lora
 
-            unet_params = apply_lora_pt(
-                unet_params, load_lora_pt(args.lora_ckpt), spec.unet
-            )
+                unet_params = merge_lora(
+                    unet_params, load_lora_npz(args.lora_ckpt)
+                )
+            else:
+                from ..io.lora_import import apply_lora_pt, load_lora_pt
+
+                unet_params = apply_lora_pt(
+                    unet_params, load_lora_pt(args.lora_ckpt), spec.unet
+                )
         vae_params = {"params": import_vae_params(vae_sd)}
         text_params = {"params": import_clip_text_params(clip_sd)}
     elif args.random_weights:

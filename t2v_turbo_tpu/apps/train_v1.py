@@ -105,6 +105,7 @@ def main(argv=None):
     from ..parallel.mesh import make_mesh
     from ..training.lcd import LCDConfig
     from ..training.optim import make_optimizer
+    from ..io.torch_export import vc2_reference_lora_target
     from ..training.trainer import LCDTrainer, TrainerConfig
 
     if args.tiny_model:
@@ -282,6 +283,10 @@ def main(argv=None):
             checkpoint_every=args.checkpointing_steps,
             keep_checkpoints=args.checkpoints_total_limit,
             lora_rank=args.lora_rank if args.lora_rank > 0 else None,
+            # inject exactly the module set the reference's
+            # inject_trainable_lora_extended covers, so the trained factors
+            # export 1:1 to its unet_lora.pt format
+            lora_target=vc2_reference_lora_target(ucfg),
             max_grad_norm=args.max_grad_norm,
             seed=args.seed,
             log_every=1,
@@ -298,12 +303,23 @@ def main(argv=None):
         )
     metrics = trainer.run(data)
     print(f"final metrics: {metrics}")
-    # export inference-ready merged weights
+    # export inference-ready weights: native npz + the reference's
+    # unet_lora.pt flat-list format (train_t2v_turbo_v1_lora.py:739-756)
     from ..lora import save_lora_npz
 
     if trainer.cfg.lora_rank:
         save_lora_npz(f"{args.output_dir}/unet_lora.npz", trainer.state["trainable"])
         print(f"{args.output_dir}/unet_lora.npz")
+        try:
+            from ..io.torch_export import export_lora_pt, save_torch
+
+            weights = export_lora_pt(
+                trainer.state["trainable"], ucfg, params=student_params
+            )
+            save_torch(weights, f"{args.output_dir}/unet_lora.pt")
+            print(f"{args.output_dir}/unet_lora.pt")
+        except ImportError:
+            print("torch unavailable: skipped unet_lora.pt export")
 
 
 def add_reward_fields(base_iter, args, frames, b, image_rm, video_rm):

@@ -192,6 +192,25 @@ def main(argv=None):
 
     metrics = trainer.run(data_iter())
     print(f"final metrics: {metrics}")
+    # export the reference's inference-ready torch artifacts: full unet.pt
+    # (+ target_unet.pt when the EMA target net is on) — reference
+    # train_latent_t2v_turbo_v2.py:760-773
+    try:
+        from ..io.torch_export import export_unet_params, save_torch
+
+        save_torch(
+            export_unet_params(trainer.state["trainable"], ucfg),
+            f"{args.output_dir}/unet.pt",
+        )
+        print(f"{args.output_dir}/unet.pt")
+        if "ema" in trainer.state:
+            save_torch(
+                export_unet_params(trainer.state["ema"], ucfg),
+                f"{args.output_dir}/target_unet.pt",
+            )
+            print(f"{args.output_dir}/target_unet.pt")
+    except ImportError:
+        print("torch unavailable: skipped unet.pt export")
 
 
 if __name__ == "__main__":

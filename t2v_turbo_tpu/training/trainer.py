@@ -44,6 +44,11 @@ class TrainerConfig:
     max_grad_norm: float = 10.0
     lora_rank: Optional[int] = 64  # None -> full finetune (v2 style)
     lora_scale: float = 1.0
+    # path predicate selecting which kernel leaves get LoRA factors; None ->
+    # every kernel. The v1 app passes vc2_reference_lora_target(cfg) so the
+    # factor set matches the reference's injected modules exactly (and is
+    # exportable to its unet_lora.pt format).
+    lora_target: Optional[Any] = None
     ema_decay: Optional[float] = None  # v2 target net
     # Reference --gradient_accumulation_steps (train_t2v_turbo_v1_lora.py:
     # 287-291, accelerator.accumulate :945). K>1 averages grads over K
@@ -93,7 +98,9 @@ class LCDTrainer:
 
         use_lora = cfg.lora_rank is not None
         if use_lora:
-            lora_cfg = LoRAConfig(rank=cfg.lora_rank, scale=cfg.lora_scale)
+            lora_cfg = LoRAConfig(
+                rank=cfg.lora_rank, scale=cfg.lora_scale, target=cfg.lora_target
+            )
             trainable = init_lora(
                 student_params, lora_cfg, jax.random.PRNGKey(cfg.seed)
             )

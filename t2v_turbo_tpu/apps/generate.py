@@ -218,6 +218,11 @@ def build_ms_pipeline(args):
 
     from ..diffusion import DiffusionSchedule
 
+    mesh = None
+    if args.data_shards * args.seq_shards > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.data_shards, seq=args.seq_shards)
     return T2VTurboMSPipeline(
         unet=unet,
         unet_params=unet_params,
@@ -228,6 +233,7 @@ def build_ms_pipeline(args):
         tokenizer=tokenizer,
         schedule=DiffusionSchedule.create(),
         dtype=dtype,
+        mesh=mesh,
     )
 
 

@@ -106,9 +106,27 @@ def resample_shards_by_prefix(
     data/dataloader/custom_wds.py:312-393 PrefixResampler): each draw picks
     a prefix with probability proportional to its weight, then a shard
     uniformly WITHOUT replacement from that prefix's pool, refilling a pool
-    only when it empties. Prefixes with no matching shards are dropped and
-    the remaining weights renormalized. Infinite iterator."""
-    pools = {p: [s for s in shards if s.startswith(p)] for p in weights}
+    only when it empties. Each shard belongs to exactly one pool — its
+    FIRST matching prefix in `weights` order (reference custom_wds.py:335
+    takes filter(...)[0]); a shard matching no prefix is an error there
+    (bare IndexError) and a descriptive one here. Prefixes with no matching
+    shards are dropped and the remaining weights renormalized. Infinite
+    iterator."""
+    pools: dict = {p: [] for p in weights}
+    unmatched = []
+    for s in shards:
+        for p in weights:
+            if s.startswith(p):
+                pools[p].append(s)
+                break
+        else:
+            unmatched.append(s)
+    if unmatched:
+        raise ValueError(
+            f"{len(unmatched)} shard(s) match no prefix in {list(weights)} "
+            f"(first: {unmatched[0]}); every shard must belong to a "
+            "mixture component"
+        )
     pools = {p: v for p, v in pools.items() if v}
     if not pools:
         raise ValueError(
@@ -118,13 +136,18 @@ def resample_shards_by_prefix(
     names = list(pools)
     ps = np.asarray([float(weights[p]) for p in names])
     ps = ps / ps.sum()
-    rng = np.random.RandomState(seed)
-    avail = {p: list(v) for p, v in pools.items()}
-    while True:
-        p = names[rng.choice(len(names), p=ps)]
-        if not avail[p]:
-            avail[p] = list(pools[p])
-        yield avail[p].pop(rng.randint(len(avail[p])))
+
+    def draw() -> Iterator[str]:
+        rng = np.random.RandomState(seed)
+        avail = {p: list(v) for p, v in pools.items()}
+        while True:
+            p = names[rng.choice(len(names), p=ps)]
+            if not avail[p]:
+                avail[p] = list(pools[p])
+            yield avail[p].pop(rng.randint(len(avail[p])))
+
+    # validation above runs eagerly at call time (not at first next())
+    return draw()
 
 
 class WebVideoDataset:

@@ -240,10 +240,11 @@ def apply_lora_pt(params: Dict, weights: List[np.ndarray], cfg: UNetConfig,
     """Fold a cloneofsimo [up, down, ...] list into flax UNet params
     (collapse semantics, alpha=1.0 like the reference app)."""
     order = lora_module_order(cfg)
-    assert len(weights) == 2 * len(order), (
-        f"lora file has {len(weights)} tensors, expected {2 * len(order)} "
-        f"for this config"
-    )
+    if len(weights) != 2 * len(order):
+        raise ValueError(
+            f"lora file has {len(weights)} tensors, expected {2 * len(order)} "
+            f"for this config"
+        )
     import jax.numpy as jnp
 
     new = dict(params)
@@ -483,10 +484,11 @@ def apply_lora_pt_ms(params: Dict, weights: List[np.ndarray], cfg,
     """Fold a cloneofsimo [up, down, ...] list into flax MS UNet params
     (collapse semantics, alpha=1.0 — reference app_ms.py:206-215)."""
     order = lora_module_order_ms(cfg)
-    assert len(weights) == 2 * len(order), (
-        f"MS lora file has {len(weights)} tensors, expected {2 * len(order)} "
-        f"for this config"
-    )
+    if len(weights) != 2 * len(order):
+        raise ValueError(
+            f"MS lora file has {len(weights)} tensors, expected "
+            f"{2 * len(order)} for this config"
+        )
     import jax.numpy as jnp
 
     new = dict(params)

@@ -326,6 +326,11 @@ def export_lora_pt(
                     f"no factor for {name} and no `params` to synthesize a "
                     "zero pair; pass the student params"
                 )
+            if rank is None and not factors:
+                raise ValueError(
+                    "the factor dict is empty and no rank was given; pass "
+                    "rank= to emit an all-zero (no-op) lora list"
+                )
             r = rank or next(iter(factors.values()))["down"].shape[1]
             i = int(np.prod(shape[:-1]))
             o = int(shape[-1])

@@ -18,6 +18,15 @@ intern_vid2 flash_attention_class.py) with a TPU-native design:
   oracle in tests.
 
 Shapes follow the JAX convention: q (B, Hq, Sq, D), k/v (B, H, Sk, D).
+
+Status of the BSHD (layout-native) kernel family: built and measured in
+round 2 (PERF_NOTES.md r2 #1) — the head-loop BSHD kernel is ~40% slower
+than transposing into the BHSD kernel (XLA fuses the transposes to ~free),
+so the production dispatcher `sdpa_bshd` deliberately routes BHSD. The BSHD
+kernels are kept, unit-tested (tests/test_ops.py), as the measured
+alternative: if a future TPU generation or Mosaic release changes the
+strided-write cost, flipping the dispatch is a one-line change backed by
+existing tests. They are NOT on the hot path today.
 """
 
 from __future__ import annotations

@@ -39,7 +39,11 @@ def _gn_stats(x: jax.Array, num_groups: int, eps: float):
     c = x.shape[-1]
     xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
     mean = jnp.mean(xf, axis=(1, 3))
-    var = jnp.mean(jnp.square(xf), axis=(1, 3)) - jnp.square(mean)
+    # centered (two-pass) variance: E[(x-mean)^2]. The E[x^2]-E[x]^2 form
+    # cancels catastrophically in f32 when |mean| >> std, which would make
+    # the fused forward diverge from the unfused composition the custom VJP
+    # replays in backward.
+    var = jnp.mean(jnp.square(xf - mean[:, None, :, None]), axis=(1, 3))
     rstd = jax.lax.rsqrt(var + eps)
     return mean, rstd  # (N, G)
 
@@ -271,8 +275,12 @@ def fused_gn_silu_conv(
     """
     if conv_bias is None:
         conv_bias = jnp.zeros((conv_kernel.shape[-1],), jnp.float32)
-    if film_scale is None:
-        film_scale = film_shift = None
+    if (film_scale is None) != (film_shift is None):
+        raise ValueError(
+            "film_scale and film_shift must be given together "
+            f"(got scale={'set' if film_scale is not None else 'None'}, "
+            f"shift={'set' if film_shift is not None else 'None'})"
+        )
     return _fused_op(
         x, gn_scale, gn_bias, conv_kernel, conv_bias, film_scale, film_shift,
         num_groups, eps,

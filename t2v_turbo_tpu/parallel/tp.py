@@ -17,12 +17,15 @@ all-reduces. Megatron-style column/row split:
 
 Head counts must divide the model-axis size; `tp_param_shardings` checks
 this per leaf and leaves non-conforming kernels replicated rather than
-failing.
+failing. Pass `head_dim` (num_head_channels) so the guard counts HEADS —
+a split must land on a head boundary or the (B, S, H, D) reshape inside
+attention cannot propagate it and GSPMD falls back to a mid-attention
+reshard. Without `head_dim` only raw-dim divisibility is checked.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -51,17 +54,29 @@ def tp_spec_for(path_str: str, leaf) -> P:
     return P()
 
 
-def tp_param_shardings(mesh: Mesh, params) -> Any:
+def tp_param_shardings(
+    mesh: Mesh, params, head_dim: Optional[int] = None
+) -> Any:
     """NamedShardings mirroring `params` with attention kernels split over
-    the "model" axis (kernels whose dim doesn't divide the axis stay
-    replicated)."""
+    the "model" axis. A kernel stays replicated unless the split lands on a
+    head boundary: with `head_dim` given, the head count (split_dim //
+    head_dim) must divide the axis; otherwise only the raw dim is checked
+    (which can silently split mid-head — pass head_dim for real models,
+    e.g. level-0 VC2 attention has 5 heads of 64 and must NOT split 2-way)."""
     model_n = mesh.shape.get("model", 1)
 
     def to_sharding(path, leaf):
         spec = tp_spec_for(_path_str(path), leaf)
-        # divisibility guard: fall back to replication
         for dim, axis in enumerate(spec):
-            if axis == "model" and leaf.shape[dim] % model_n:
+            if axis != "model":
+                continue
+            size = leaf.shape[dim]
+            ok = size % model_n == 0
+            if ok and head_dim is not None:
+                # q/k/v split the head (output) dim; to_out's input dim is
+                # the same H*D concatenation — both must split per-head
+                ok = size % head_dim == 0 and (size // head_dim) % model_n == 0
+            if not ok:
                 spec = P()
                 break
         return NamedSharding(mesh, spec)
@@ -69,6 +84,6 @@ def tp_param_shardings(mesh: Mesh, params) -> Any:
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
-def shard_params_tp(mesh: Mesh, params):
+def shard_params_tp(mesh: Mesh, params, head_dim: Optional[int] = None):
     """device_put `params` with TP shardings over `mesh`."""
-    return jax.device_put(params, tp_param_shardings(mesh, params))
+    return jax.device_put(params, tp_param_shardings(mesh, params, head_dim))

@@ -266,3 +266,28 @@ class TestDatasets:
         assert batch["z_t"].shape == (2, 4, 8, 8, 4)
         assert batch["prompt_emb"].shape == (2, 7, 16)
         assert batch["use_motion_guide"].dtype == bool
+
+
+class TestPrefixResamplerExclusivity:
+    def test_unmatched_shard_raises(self):
+        from t2v_turbo_tpu.data.webdata import resample_shards_by_prefix
+
+        with pytest.raises(ValueError, match="match no prefix"):
+            resample_shards_by_prefix(
+                ["a/0.tar", "c/0.tar"], {"a/": 1.0}, seed=0
+            )
+
+    def test_overlapping_prefixes_first_match_wins(self):
+        from t2v_turbo_tpu.data.webdata import resample_shards_by_prefix
+
+        # "a/b0.tar" matches both "a/" and "a/b"; reference PrefixResampler
+        # assigns to the FIRST matching prefix (custom_wds.py:335), so with
+        # weights {"a/b": x, "a/": y} it belongs only to the "a/b" pool
+        shards = ["a/b0.tar", "a/c0.tar"]
+        it = resample_shards_by_prefix(
+            shards, {"a/b": 0.0001, "a/": 0.9999}, seed=3
+        )
+        draws = [next(it) for _ in range(50)]
+        # the "a/" pool must contain only a/c0.tar: a/b0.tar is near-never
+        # drawn because its (first-match) pool has ~zero weight
+        assert sum(d == "a/b0.tar" for d in draws) <= 2

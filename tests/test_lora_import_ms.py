@@ -173,5 +173,5 @@ class TestMSLoraFold:
 
     def test_wrong_length_raises(self, tiny_ms):
         _, params = tiny_ms
-        with pytest.raises(AssertionError, match="expected"):
+        with pytest.raises(ValueError, match="expected"):
             apply_lora_pt_ms(params, [np.zeros((4, 4))] * 6, tiny_cfg())

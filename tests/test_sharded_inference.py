@@ -87,3 +87,50 @@ class TestShardedInference:
         pipe = build_pipe(mesh=mesh)
         with pytest.raises(ValueError, match="divisible"):
             run(pipe, frames=6)  # 6 % 4 != 0
+
+
+class TestShardedMSInference:
+    """The MS backbone takes the same mesh (apps/generate.py now builds one
+    for --backbone ms too); sharded must equal unsharded exactly."""
+
+    def build(self, mesh=None):
+        from t2v_turbo_tpu.models.unet_ms import (
+            MSUNetConfig, MSUNet3DConditionModel,
+        )
+        from t2v_turbo_tpu.pipelines.ms import T2VTurboMSPipeline
+
+        unet = MSUNet3DConditionModel(cfg=MSUNetConfig(
+            block_out_channels=(32, 64), layers_per_block=1,
+            attention_head_dim=16, cross_attention_dim=24,
+            time_cond_proj_dim=8,
+        ))
+        up = jax.jit(unet.init)(
+            jax.random.PRNGKey(0), jnp.zeros((2, 4, 8, 8, 4)),
+            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 7, 24)),
+            timestep_cond=jnp.zeros((2, 8)),
+        )
+        vae = AutoencoderKL(
+            cfg=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+        )
+        vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+        return T2VTurboMSPipeline(
+            unet=unet, unet_params=up, vae=vae, vae_params=vp,
+            text_model=None, text_params=None, tokenizer=None,
+            schedule=DiffusionSchedule.create(), vae_scale=2,
+            w_embedding_dim=8, dtype=jnp.float32, mesh=mesh,
+        )
+
+    def run(self, pipe):
+        ctx = jnp.asarray(
+            np.random.RandomState(1).randn(2, 7, 24).astype(np.float32)
+        )
+        return pipe(
+            prompt_embeds=ctx, height=16, width=16, frames=4,
+            num_inference_steps=2, key=jax.random.PRNGKey(7),
+        )
+
+    def test_matches_unsharded(self):
+        ref = np.asarray(self.run(self.build(mesh=None)))
+        out = np.asarray(self.run(self.build(mesh=make_mesh(seq=4))))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)

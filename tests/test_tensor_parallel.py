@@ -81,3 +81,29 @@ class TestTensorParallel:
                 if shard.data.shape[1] == leaf.shape[1] // 2:
                     found = True
         assert found, "no to_q kernel was actually split over the model axis"
+
+
+class TestHeadBoundaryGuard:
+    def test_non_divisible_head_count_stays_replicated(self):
+        """VC2 level 0 has 5 heads of 64 (kernel dim 320): 320 % 2 == 0 but
+        5 heads can't split 2-way — with head_dim given, such kernels must
+        stay replicated instead of splitting mid-head."""
+        unet, params, *_ = _setup()
+        mesh = make_mesh(seq=2, model=2)
+        # tiny UNet: head_dim 16, channels 32/64 -> 2 and 4 heads (divisible)
+        divisible = tp_param_shardings(mesh, params, head_dim=16)
+        n_split_div = sum(
+            1 for s in jax.tree.leaves(
+                jax.tree.map(lambda x: x.spec != (), divisible)
+            ) if s
+        )
+        assert n_split_div > 0
+        # pretend heads are 3x wider: 32/48 -> not integral or odd -> all
+        # attention kernels must fall back to replication
+        odd = tp_param_shardings(mesh, params, head_dim=48)
+        n_split_odd = sum(
+            1 for s in jax.tree.leaves(
+                jax.tree.map(lambda x: x.spec != (), odd)
+            ) if s
+        )
+        assert n_split_odd == 0

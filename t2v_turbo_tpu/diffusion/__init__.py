@@ -19,6 +19,15 @@ from .lcm import (
 )
 from .scheduler import LCMScheduler, lcm_timesteps
 from .ddim import DDIMSolver
+from .ancestral import (
+    PosteriorTables,
+    p_mean_variance,
+    p_sample,
+    p_sample_loop,
+    posterior_tables,
+    predict_start_from_noise,
+    q_posterior,
+)
 
 __all__ = [
     "DiffusionSchedule",
@@ -33,8 +42,15 @@ __all__ = [
     "lcm_timesteps",
     "make_betas",
     "make_vc2_scale_arr",
+    "PosteriorTables",
+    "p_mean_variance",
+    "p_sample",
+    "p_sample_loop",
+    "posterior_tables",
+    "predict_start_from_noise",
     "predicted_noise",
     "predicted_origin",
+    "q_posterior",
     "q_sample",
     "rescale_zero_terminal_snr",
     "scalings_for_boundary_conditions",

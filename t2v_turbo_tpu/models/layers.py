@@ -94,6 +94,13 @@ class CrossAttention(nn.Module):
     dim_head: int = 64
     relative_position: bool = False
     temporal_length: Optional[int] = None
+    # image-conditioned branch (reference attention.py:78-83,151-161, used
+    # by the LatentVisualDiffusion/ip_resampler variant): context rows
+    # beyond `text_context_len` are image tokens attended through separate
+    # to_k_ip/to_v_ip projections, added at `image_cross_attention_scale`.
+    img_cross_attention: bool = False
+    image_cross_attention_scale: float = 1.0
+    text_context_len: int = 200
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,8 +119,19 @@ class CrossAttention(nn.Module):
         )
         q = dense(inner, "to_q")(x)
         ctx = x if context is None else context
+        ctx_img = None
+        if self.img_cross_attention:
+            # the reference splits after context-defaulting, so the image
+            # branch applies to whatever context the layer sees
+            ctx, ctx_img = (
+                ctx[:, : self.text_context_len, :],
+                ctx[:, self.text_context_len :, :],
+            )
         k = dense(inner, "to_k")(ctx)
         v = dense(inner, "to_v")(ctx)
+        if ctx_img is not None:
+            k_ip = dense(inner, "to_k_ip")(ctx_img)
+            v_ip = dense(inner, "to_v_ip")(ctx_img)
 
         b, sq, _ = q.shape
         sk = k.shape[1]
@@ -158,6 +176,13 @@ class CrossAttention(nn.Module):
                 q, k, v, causal=causal, scale=scale, use_flash=use_flash
             )
 
+        if ctx_img is not None:
+            out_ip = sdpa_bshd(
+                q, split(k_ip), split(v_ip), causal=False, scale=scale,
+                use_flash=use_flash,
+            )
+            out = out + self.image_cross_attention_scale * out_ip
+
         out = out.reshape(b, sq, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
@@ -189,6 +214,8 @@ class BasicTransformerBlock(nn.Module):
     disable_self_attn: bool = False
     relative_position: bool = False
     temporal_length: Optional[int] = None
+    # image-conditioned cross-attn on attn2 only (reference attention.py:272-278)
+    img_cross_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -217,6 +244,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(
             query_dim=self.dim,
             context_dim=self.context_dim,
+            img_cross_attention=self.img_cross_attention,
             name="attn2",
             **attn_kw,
         )(
@@ -242,6 +270,8 @@ class SpatialTransformer(nn.Module):
     context_dim: Optional[int] = None
     use_linear: bool = True
     zero_init: bool = True
+    # threads the UNet's use_image_attention (reference openaimodel3d.py:490)
+    img_cross_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -260,6 +290,7 @@ class SpatialTransformer(nn.Module):
                 self.n_heads,
                 self.d_head,
                 context_dim=self.context_dim,
+                img_cross_attention=self.img_cross_attention,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, context=context, use_flash=use_flash)

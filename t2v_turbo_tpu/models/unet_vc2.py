@@ -62,6 +62,9 @@ class UNetConfig:
     use_scale_shift_norm: bool = False
     time_cond_proj_dim: Optional[int] = None  # 256 for LCM students
     motion_cond_proj_dim: Optional[int] = None  # 256 for v2 motion cond
+    # image-conditioned cross-attn branch (reference openaimodel3d.py:368,
+    # 490; used by the LatentVisualDiffusion/ip_resampler variant)
+    use_image_attention: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -111,6 +114,7 @@ class UNetModel(nn.Module):
                 cfg.num_head_channels,
                 depth=cfg.transformer_depth,
                 context_dim=cfg.context_dim,
+                img_cross_attention=cfg.use_image_attention,
                 dtype=dt,
             )
 

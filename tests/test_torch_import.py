@@ -306,3 +306,77 @@ class TestCLIPAttentionPacking:
         out = np.asarray(out).transpose(0, 2, 1, 3).reshape(b, s, width)
         out = out @ g["w_out"].T + g["b_out"]
         np.testing.assert_allclose(out, g["out.y"], atol=1e-5)
+
+
+def _gen_img_xattn_golden():
+    """Reference CrossAttention with img_cross_attention=True
+    (lvdm/modules/attention.py:78-83,151-161): context rows past
+    text_context_len=200 go through to_k_ip/to_v_ip, added at scale 1.0."""
+    torch = _torch_and_reference()
+    from lvdm.modules.attention import CrossAttention as RefXAttn
+
+    torch.manual_seed(5)
+    qd, cd, heads, dh = 16, 12, 2, 8
+    ref = RefXAttn(
+        query_dim=qd, context_dim=cd, heads=heads, dim_head=dh,
+        img_cross_attention=True,
+    ).eval()
+    x = torch.randn(2, 9, qd)
+    ctx = torch.randn(2, 200 + 4, cd)  # 200 text rows + 4 image tokens
+    with torch.no_grad():
+        # force the einsum path (xformers absent on CPU anyway)
+        out = RefXAttn.forward(ref, x, context=ctx)
+    g = {f"sd.{k}": v for k, v in to_np(ref.state_dict()).items()}
+    g.update({
+        "in.x": x.numpy(), "in.ctx": ctx.numpy(), "out.y": out.numpy(),
+        "meta.dims": np.array([qd, cd, heads, dh]),
+    })
+    return g
+
+
+class TestImageCrossAttentionParity:
+    def test_forward_parity(self):
+        from t2v_turbo_tpu.models.layers import CrossAttention
+
+        g = _golden("vc2_img_xattn_tiny", _gen_img_xattn_golden)
+        qd, cd, heads, dh = (int(v) for v in g["meta.dims"])
+        sd = goldens.subdict(g, "sd")
+        params = {
+            "to_q": {"kernel": sd["to_q.weight"].T},
+            "to_k": {"kernel": sd["to_k.weight"].T},
+            "to_v": {"kernel": sd["to_v.weight"].T},
+            "to_k_ip": {"kernel": sd["to_k_ip.weight"].T},
+            "to_v_ip": {"kernel": sd["to_v_ip.weight"].T},
+            "to_out": {
+                "kernel": sd["to_out.0.weight"].T,
+                "bias": sd["to_out.0.bias"],
+            },
+        }
+        attn = CrossAttention(
+            query_dim=qd, context_dim=cd, heads=heads, dim_head=dh,
+            img_cross_attention=True,
+        )
+        out = attn.apply(
+            {"params": jax.tree.map(jnp.asarray, params)},
+            jnp.asarray(g["in.x"]), context=jnp.asarray(g["in.ctx"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), g["out.y"], atol=2e-5, rtol=1e-4
+        )
+
+    def test_image_tokens_change_output(self):
+        """The image branch must actually read the image tokens."""
+        from t2v_turbo_tpu.models.layers import CrossAttention
+
+        attn = CrossAttention(
+            query_dim=16, context_dim=12, heads=2, dim_head=8,
+            img_cross_attention=True, text_context_len=5,
+        )
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 3, 16).astype(np.float32))
+        ctx = jnp.asarray(rng.randn(1, 8, 12).astype(np.float32))
+        params = attn.init(jax.random.PRNGKey(0), x, context=ctx)
+        o1 = attn.apply(params, x, context=ctx)
+        ctx2 = ctx.at[:, 5:, :].set(0.0)
+        o2 = attn.apply(params, x, context=ctx2)
+        assert float(jnp.abs(o1 - o2).max()) > 1e-6

@@ -157,3 +157,46 @@ class TestUNet:
         for pr in probs:
             assert pr.shape[-1] == 4
             np.testing.assert_allclose(np.asarray(pr).sum(-1), 1.0, rtol=1e-4)
+
+
+class TestImageAttentionVariant:
+    def test_forward_with_image_tokens(self):
+        """use_image_attention threads through to the spatial attn2
+        (reference openaimodel3d.py:368,490): context rows past
+        text_context_len are image tokens; they must influence the output
+        and init must create to_k_ip/to_v_ip leaves."""
+        from tinymodels import tiny_unet
+
+        unet = tiny_unet(use_image_attention=True)
+        # context: 6 "text" rows + 2 image tokens with text_context_len=200
+        # would make the text split empty at tiny scale, so use the module
+        # default (200) with a 202-row context: 200 text + 2 image
+        import jax, jax.numpy as jnp, numpy as np
+
+        x = jnp.zeros((1, 4, 8, 8, 4))
+        ctx = jnp.asarray(
+            np.random.RandomState(0).randn(1, 202, 16).astype(np.float32)
+        )
+        t = jnp.zeros((1,), jnp.int32)
+        params = unet.init(
+            jax.random.PRNGKey(0), x, t, ctx,
+            fps=jnp.full((1,), 16.0), timestep_cond=jnp.zeros((1, 8)),
+        )
+        leaves = jax.tree_util.tree_leaves_with_path(params)
+        assert any("to_k_ip" in jax.tree_util.keystr(p) for p, _ in leaves)
+        # zero-init tails make a fresh model output exactly 0 regardless of
+        # inputs; perturb params so sensitivity is observable
+        params = jax.tree.map(
+            lambda p: p + 0.01 * np.random.RandomState(0).randn(*p.shape),
+            params,
+        )
+        o1 = unet.apply(
+            params, x, t, ctx, fps=jnp.full((1,), 16.0),
+            timestep_cond=jnp.zeros((1, 8)),
+        )
+        ctx2 = ctx.at[:, 200:, :].set(0.0)
+        o2 = unet.apply(
+            params, x, t, ctx2, fps=jnp.full((1,), 16.0),
+            timestep_cond=jnp.zeros((1, 8)),
+        )
+        assert float(jnp.abs(o1 - o2).max()) > 1e-7

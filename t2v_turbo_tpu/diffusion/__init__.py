@@ -18,7 +18,7 @@ from .lcm import (
     timestep_embedding,
 )
 from .scheduler import LCMScheduler, lcm_timesteps
-from .ddim import DDIMSolver
+from .ddim import DDIMSolver, ddim_sample_loop
 from .ancestral import (
     PosteriorTables,
     p_mean_variance,
@@ -35,6 +35,7 @@ __all__ = [
     "LCMScheduler",
     "add_noise",
     "bcast_right",
+    "ddim_sample_loop",
     "extract",
     "get_velocity",
     "guidance_scale_embedding",

@@ -120,3 +120,62 @@ class DDIMSolver:
     def index_to_timestep(self, index: jax.Array) -> jax.Array:
         """Map DDIM grid index -> absolute diffusion timestep."""
         return jnp.take(self.ddim_timesteps, index, axis=0)
+
+
+def ddim_sample_loop(
+    model_fn,
+    solver: DDIMSolver,
+    x_T: jax.Array,
+    key: jax.Array | None = None,
+    cfg_scale: float = 1.0,
+    uncond_model_fn=None,
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Full DDIM sampling chain with optional eta noise and CFG — the
+    reference's standalone `DDIMSampler` surface
+    (lvdm/models/samplers/ddim.py:11, p_sample_ddim: e_t with classifier-free
+    mixing, pred_x0, dir_xt = sqrt(1 - a_prev - sigma^2)·e_t, plus
+    sigma·noise·temperature; dead code in the reference but part of the lvdm
+    API). TPU-first: the chain is one `lax.scan` over the DDIM grid.
+
+    `model_fn(x, t_batch) -> eps` has conditioning closed over;
+    `uncond_model_fn` likewise for the unconditional branch (required when
+    cfg_scale != 1). eta enters via the solver's precomputed `ddim_sigmas`
+    (DDIMSolver.create(ddim_eta=...)); `key` is required when eta > 0.
+    """
+    if cfg_scale != 1.0 and uncond_model_fn is None:
+        raise ValueError("cfg_scale != 1 requires uncond_model_fn")
+    n = solver.ddim_timesteps.shape[0]
+    b = x_T.shape[0]
+    # noise is emitted iff a key was passed; with eta=0 the sigmas are zero
+    # and XLA constant-folds the term away, so passing a key is always safe
+    stochastic = key is not None
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def step(carry, i):
+        x, k = carry
+        tb = jnp.full((b,), solver.ddim_timesteps[i], jnp.int32)
+        e_t = model_fn(x, tb)
+        if cfg_scale != 1.0:
+            e_u = uncond_model_fn(x, tb)
+            e_t = e_u + cfg_scale * (e_t - e_u)
+        nd = x.ndim
+        idx = jnp.full((b,), i, jnp.int32)
+        a_t = extract(solver.ddim_alpha_cumprods, idx, nd)
+        a_prev = extract(solver.ddim_alpha_cumprods_prev, idx, nd)
+        sigma = extract(solver.ddim_sigmas, idx, nd)
+        pred_x0 = (x - jnp.sqrt(1.0 - a_t) * e_t) / jnp.sqrt(a_t)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * e_t
+        k, sub = jax.random.split(k)
+        noise = (
+            sigma * jax.random.normal(sub, x.shape, x.dtype) * temperature
+            if stochastic
+            else 0.0
+        )
+        return (jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise, k), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x_T, key), jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
+    )
+    return x

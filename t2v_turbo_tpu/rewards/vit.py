@@ -76,8 +76,14 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (B, H, W, 3) normalized images -> (B, output_dim) features."""
+    def __call__(self, x: jax.Array, return_tokens: bool = False) -> jax.Array:
+        """x: (B, H, W, 3) normalized images -> (B, output_dim) features.
+
+        `return_tokens=True` returns the full post-transformer token
+        sequence (B, 1+N, width) with NO ln_post/pooling/projection — the
+        open_clip token path of the reference's
+        FrozenOpenCLIPImageEmbedderV2 (condition.py:436-485), consumed by
+        the finegrained perceiver Resampler."""
         cfg = self.cfg
         b = x.shape[0]
         x = nn.Conv(
@@ -107,6 +113,8 @@ class VisionTransformer(nn.Module):
                 cfg.width, cfg.heads, cfg.quick_gelu, dtype=self.dtype,
                 name=f"resblocks_{i}",
             )(x)
+        if return_tokens:
+            return x
         x = LayerNorm(name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (cfg.width, cfg.output_dim)

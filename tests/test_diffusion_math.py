@@ -405,3 +405,70 @@ class TestAncestralSampling:
             tabs, jnp.zeros_like(x), x, jnp.array([10]), clip_denoised=True
         )
         assert float(jnp.abs(x_recon).max()) <= 1.0
+
+
+class TestDDIMSampleLoop:
+    """Standalone DDIM sampler chain (reference lvdm DDIMSampler surface)."""
+
+    def _solver(self, eta=0.0):
+        from t2v_turbo_tpu.diffusion import DiffusionSchedule
+        from t2v_turbo_tpu.diffusion.ddim import DDIMSolver
+
+        sched = DiffusionSchedule.create()
+        return DDIMSolver.create(
+            np.asarray(sched.alphas_cumprod), ddim_timesteps=10, ddim_eta=eta
+        ), sched
+
+    def test_zero_eps_telescopes(self):
+        """With eps == 0 and eta == 0 every step multiplies by
+        sqrt(a_prev/a_t); the chain telescopes to sqrt(a_prev[0]/a_t[-1])."""
+        from t2v_turbo_tpu.diffusion.ddim import ddim_sample_loop
+
+        solver, _ = self._solver()
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 8).astype(np.float32))
+        out = ddim_sample_loop(lambda z, t: jnp.zeros_like(z), solver, x)
+        ac = np.asarray(solver.ddim_alpha_cumprods)
+        ac_prev = np.asarray(solver.ddim_alpha_cumprods_prev)
+        factor = np.sqrt(ac_prev[0] / ac[-1])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(x) * factor, rtol=2e-4
+        )
+
+    def test_cfg_mixing(self):
+        """cfg_scale=1 ignores the uncond branch; cfg_scale=2 uses
+        e_u + 2(e_c - e_u)."""
+        from t2v_turbo_tpu.diffusion.ddim import ddim_sample_loop
+
+        solver, _ = self._solver()
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 8).astype(np.float32))
+        cond = lambda z, t: 0.1 * jnp.ones_like(z)
+        uncond = lambda z, t: 0.3 * jnp.ones_like(z)
+        base = ddim_sample_loop(cond, solver, x)
+        same = ddim_sample_loop(cond, solver, x, cfg_scale=1.0,
+                                uncond_model_fn=uncond)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(same))
+        # e_u + 2(e_c - e_u) = 2 e_c - e_u = -0.1: equals a plain model at -0.1
+        mixed = ddim_sample_loop(cond, solver, x, cfg_scale=2.0,
+                                 uncond_model_fn=uncond)
+        expect = ddim_sample_loop(
+            lambda z, t: -0.1 * jnp.ones_like(z), solver, x
+        )
+        np.testing.assert_allclose(
+            np.asarray(mixed), np.asarray(expect), rtol=1e-4, atol=1e-5
+        )
+        with pytest.raises(ValueError, match="uncond"):
+            ddim_sample_loop(cond, solver, x, cfg_scale=2.0)
+
+    def test_eta_noise_deterministic_per_key(self):
+        from t2v_turbo_tpu.diffusion.ddim import ddim_sample_loop
+
+        solver, _ = self._solver(eta=0.5)
+        assert float(np.asarray(solver.ddim_sigmas).max()) > 0
+        x = jnp.asarray(np.random.RandomState(2).randn(1, 8).astype(np.float32))
+        model = lambda z, t: 0.05 * z
+        a = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(3))
+        b = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(3))
+        c = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(4))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        assert float(jnp.abs(a - c).max()) > 1e-6
+        assert np.isfinite(np.asarray(a)).all()

@@ -254,11 +254,19 @@ class T2VTurboVC2Pipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_dev = self.mesh.devices.size
+            axes = tuple(self.mesh.axis_names)
             if (b * t) % n_dev == 0:
                 # decode spreads frames over ALL mesh devices
                 frames_flat = jax.device_put(
-                    frames_flat,
-                    NamedSharding(self.mesh, P(tuple(self.mesh.axis_names))),
+                    frames_flat, NamedSharding(self.mesh, P(axes))
+                )
+            elif hh % n_dev == 0:
+                # frame count doesn't divide the mesh (short clips / large
+                # meshes): shard latent ROWS instead — GSPMD turns the
+                # decoder's conv halos and GroupNorm stats into ICI
+                # collectives, so single-video decode latency still scales
+                frames_flat = jax.device_put(
+                    frames_flat, NamedSharding(self.mesh, P(None, axes))
                 )
         chunk = decode_frame_chunk or b * t
         outs = [

@@ -97,6 +97,13 @@ class LCDTrainer:
         self.teacher_params = teacher_params
 
         use_lora = cfg.lora_rank is not None
+        # Frozen (non-trained) params are threaded through the jitted step
+        # as ARGUMENTS, not closed over: closure capture bakes them into the
+        # lowered program as constants (11+ GB of captured constants at
+        # full size — slow lowering, duplicated memory, and any sharding on
+        # them is lost). As runtime inputs they keep their device placement
+        # and shardings (e.g. TP layouts from shard_params_tp).
+        frozen = {"teacher": teacher_params}
         if use_lora:
             lora_cfg = LoRAConfig(
                 rank=cfg.lora_rank, scale=cfg.lora_scale, target=cfg.lora_target
@@ -104,18 +111,24 @@ class LCDTrainer:
             trainable = init_lora(
                 student_params, lora_cfg, jax.random.PRNGKey(cfg.seed)
             )
-
-            def apply_fn(tr, *args, **kw):
-                return student_apply(
-                    merge_lora(self.student_params, tr, cfg.lora_scale), *args, **kw
-                )
+            frozen["student"] = student_params
         else:
             trainable = student_params
 
-            def apply_fn(tr, *args, **kw):
-                return student_apply(tr, *args, **kw)
+        def make_apply(fr):
+            if use_lora:
+                def apply_fn(tr, *args, **kw):
+                    return student_apply(
+                        merge_lora(fr["student"], tr, cfg.lora_scale),
+                        *args, **kw,
+                    )
+            else:
+                def apply_fn(tr, *args, **kw):
+                    return student_apply(tr, *args, **kw)
+            return apply_fn
 
-        self._apply_fn = apply_fn
+        self._frozen = frozen
+        self._apply_fn = make_apply(frozen)
         opt_state = optimizer.init(trainable)
         self.state = {
             "trainable": trainable,
@@ -125,16 +138,16 @@ class LCDTrainer:
         if cfg.ema_decay is not None:
             self.state["ema"] = jax.tree.map(jnp.copy, trainable)
 
-        def loss_fn(trainable, batch, key, ema=None):
+        def loss_fn(trainable, batch, key, fr, ema=None):
             if loss_fn_override is not None:
                 return loss_fn_override(trainable, batch, key, ema=ema)
             return lcd_loss(
                 trainable,
                 batch,
                 key,
-                student_apply=apply_fn,
+                student_apply=make_apply(fr),
                 teacher_apply=teacher_apply,
-                teacher_params=self.teacher_params,
+                teacher_params=fr["teacher"],
                 sched=sched,
                 solver=solver,
                 cfg=lcd_cfg,
@@ -142,9 +155,9 @@ class LCDTrainer:
                 video_reward_fn=video_reward_fn,
             )
 
-        def step_fn(state, batch, key):
+        def step_fn(state, batch, key, fr):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["trainable"], batch, key, state.get("ema")
+                state["trainable"], batch, key, fr, state.get("ema")
             )
             gnorm = optax.global_norm(grads)
             if cfg.grad_accum_steps <= 1:
@@ -179,7 +192,12 @@ class LCDTrainer:
             metrics["grad_norm"] = gnorm
             return new_state, metrics
 
-        self._step_jit = jax.jit(step_fn, donate_argnums=(0,))
+        _jitted_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        def _step(state, batch, key):
+            return _jitted_step(state, batch, key, self._frozen)
+
+        self._step_jit = _step
 
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.ckpt_mgr = ocp.CheckpointManager(

@@ -88,6 +88,25 @@ class TestShardedInference:
         with pytest.raises(ValueError, match="divisible"):
             run(pipe, frames=6)  # 6 % 4 != 0
 
+    def test_spatial_decode_fallback_matches_unsharded(self):
+        """When b*t doesn't divide the mesh, VAE decode shards latent rows
+        instead (conv halos + GN stats become collectives); the result must
+        still equal the unsharded decode."""
+        mesh = make_mesh(seq=4)
+        pipe = build_pipe(mesh=mesh)
+        # 6 latent frames don't divide the 8-dev mesh; latent rows (8) do
+        z = jnp.asarray(
+            np.random.RandomState(5).randn(6, 8, 8, 4).astype(np.float32)
+        )
+        ref = np.asarray(pipe._decode_jit(pipe.vae_params, z))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        zs = jax.device_put(
+            z, NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+        )
+        out = np.asarray(pipe._decode_jit(pipe.vae_params, zs))
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
 
 class TestShardedMSInference:
     """The MS backbone takes the same mesh (apps/generate.py now builds one

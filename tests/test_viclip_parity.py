@@ -52,6 +52,13 @@ class TestViCLIPVisionParity:
 
         torch.manual_seed(0)
         ref = clip_joint_b16(pretrained=False, num_frames=4).eval()
+        # reference viclip_vision.py:133 creates `proj` with torch.empty —
+        # UNINITIALIZED memory. Freshly-mapped pages are usually zero, but
+        # when the heap gets reused the garbage can contain denormals that
+        # torch (FTZ via mkldnn) and XLA treat differently -> flaky parity.
+        # Give it a real value like the text test does for its empty params.
+        with torch.no_grad():
+            ref.proj.normal_(0, 0.02)
         sd = {f"vision_encoder.{k}": v for k, v in to_np(ref.state_dict()).items()}
         params = import_viclip_params(sd | {"temp": np.float32(0.01)})["visual"]
 

@@ -52,12 +52,22 @@ def train_bench():
     ctx = jnp.zeros((b, 77, 1024), dtype)
     fps = jnp.full((b,), 16.0)
     t0 = time.time()
+    # frozen trees in bf16 (the reference casts teacher/frozen towers to
+    # weight_dtype, train_t2v_turbo_v1_lora.py:712-730); only the trainable
+    # LoRA factors stay f32. Three f32 trees (teacher, base, merged) would
+    # need ~17 GB and OOM the 16 GB v5e.
+    to_bf16 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32
+        else a,
+        t,
+    )
     sp = jax.jit(
-        lambda k: student.init(
+        lambda k: to_bf16(student.init(
             k, x, ts, ctx, fps=fps, timestep_cond=jnp.zeros((b, 256), dtype)
-        )
+        ))
     )(jax.random.PRNGKey(0))
-    tp = jax.jit(lambda k: teacher.init(k, x, ts, ctx, fps=fps))(
+    tp = jax.jit(lambda k: to_bf16(teacher.init(k, x, ts, ctx, fps=fps)))(
         jax.random.PRNGKey(1)
     )
     jax.block_until_ready((sp, tp))

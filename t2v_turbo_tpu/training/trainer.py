@@ -137,6 +137,14 @@ class LCDTrainer:
         }
         if cfg.ema_decay is not None:
             self.state["ema"] = jax.tree.map(jnp.copy, trainable)
+        # Commit state + frozen to the mesh (replicated — DP shards the
+        # batch, not the params). Without an explicit placement the first
+        # step takes UNCOMMITTED inputs but returns committed ones, so the
+        # second call has a different jit signature and recompiles the
+        # whole multi-minute step program.
+        rep = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, rep)
+        self._frozen = jax.device_put(self._frozen, rep)
 
         def loss_fn(trainable, batch, key, fr, ema=None):
             if loss_fn_override is not None:
@@ -216,7 +224,9 @@ class LCDTrainer:
         restored = self.ckpt_mgr.restore(
             latest, args=ocp.args.StandardRestore(self.state)
         )
-        self.state = restored
+        # re-commit to the mesh: restored arrays come back with default
+        # placement, which would change the step's jit signature
+        self.state = jax.device_put(restored, NamedSharding(self.mesh, P()))
         return int(latest)
 
     def save(self, step: int):

@@ -289,3 +289,22 @@ class TestOptim:
         state = tx.init(params)
         updates, _ = tx.update({"w": jnp.ones((8,))}, state, params)
         assert jax.tree.leaves(updates)[0].shape == (8,)
+
+
+class TestStableStepSignature:
+    def test_no_recompile_on_second_step(self, tmp_path):
+        """State/frozen are committed to the mesh at init, so the second
+        step must hit the jit cache — uncommitted-then-committed inputs
+        would recompile the whole multi-minute program at full size (the
+        failure mode seen on the TPU train bench)."""
+        tr = build_trainer(tmp_path, lora_rank=2)
+        batch = tr.shard_batch(next(data_iter()))
+        key = jax.random.PRNGKey(0)
+        tr.state, _ = tr._step_jit(tr.state, batch, key)
+        inner = tr._step_jit.__closure__  # wrapper over the jitted fn
+        # find the jitted function in the closure and check its cache
+        jitted = [c.cell_contents for c in inner
+                  if hasattr(c.cell_contents, "_cache_size")][0]
+        assert jitted._cache_size() == 1
+        tr.state, _ = tr._step_jit(tr.state, batch, key)
+        assert jitted._cache_size() == 1, "second step recompiled"

@@ -135,6 +135,8 @@ def p_sample_loop(
     clip_denoised: bool = False,
     temperature: float = 1.0,
     v_posterior: float = 0.0,
+    mask: Optional[jax.Array] = None,
+    x0: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full reverse chain t = timesteps-1 .. 0 as one `lax.scan`
     (ddpm3d.py:765-833, minus the host-side callbacks/intermediates — stack
@@ -142,7 +144,14 @@ def p_sample_loop(
 
     `model_fn(x, t_batch) -> model_out` is the denoiser with conditioning
     already closed over (the reference threads `cond` through apply_model;
-    here a partial application keeps this loop model-agnostic)."""
+    here a partial application keeps this loop model-agnostic).
+
+    `mask`/`x0` (given together) enable the reference's inpainting blend
+    (ddpm3d.py:814-821): after each step, mask==1 regions are replaced by
+    `x0` re-noised to the current timestep, so only mask==0 regions are
+    generated."""
+    if (mask is None) != (x0 is None):
+        raise ValueError("mask and x0 must be given together")
     T = timesteps if timesteps is not None else sched.num_timesteps
     b = x_T.shape[0]
     tabs = posterior_tables(sched, v_posterior)
@@ -155,6 +164,13 @@ def p_sample_loop(
             tabs, sub, model_fn(x, tb), x, tb,
             parameterization, clip_denoised, temperature,
         )
+        if mask is not None:
+            from .schedule import q_sample
+
+            k, kq = jax.random.split(k)
+            noise = jax.random.normal(kq, x.shape, x.dtype)
+            x_orig = q_sample(sched, x0, tb, noise)
+            x = x_orig * mask + (1.0 - mask) * x
         return (x, k), None
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)

@@ -472,3 +472,39 @@ class TestDDIMSampleLoop:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         assert float(jnp.abs(a - c).max()) > 1e-6
         assert np.isfinite(np.asarray(a)).all()
+
+
+class TestPSampleLoopMask:
+    def test_masked_regions_track_x0(self):
+        """With mask==1 everywhere the output is x0 renoised to t=0 == x0
+        (plus no noise at t=0); with a half mask only the unmasked half is
+        generated (ddpm3d.py:814-821)."""
+        from t2v_turbo_tpu.diffusion import DiffusionSchedule, p_sample_loop
+
+        sched = DiffusionSchedule.create(num_timesteps=20)
+        model = lambda x, tb: 0.1 * x
+        rng = np.random.RandomState(0)
+        x_T = jnp.asarray(rng.randn(1, 8).astype(np.float32))
+        x0 = jnp.asarray(rng.randn(1, 8).astype(np.float32))
+        mask = jnp.concatenate([jnp.ones((1, 4)), jnp.zeros((1, 4))], axis=1)
+        out = p_sample_loop(
+            model, sched, x_T, jax.random.PRNGKey(1), mask=mask, x0=x0
+        )
+        # masked half equals q_sample(x0, t=0, .) = sqrt(abar_0) x0 + ...;
+        # abar_0 ~ 1 so it's ~x0 up to the small t=0 noise term
+        a0 = float(np.sqrt(np.asarray(sched.alphas_cumprod)[0]))
+        s0 = float(np.sqrt(1 - np.asarray(sched.alphas_cumprod)[0]))
+        diff = np.abs(np.asarray(out[:, :4]) - a0 * np.asarray(x0[:, :4]))
+        assert diff.max() <= 4 * s0 + 1e-4
+        # unmasked half is NOT x0
+        assert float(jnp.abs(out[:, 4:] - x0[:, 4:]).max()) > 1e-2
+
+    def test_mask_without_x0_raises(self):
+        from t2v_turbo_tpu.diffusion import DiffusionSchedule, p_sample_loop
+
+        sched = DiffusionSchedule.create(num_timesteps=5)
+        with pytest.raises(ValueError, match="together"):
+            p_sample_loop(
+                lambda x, t: x, sched, jnp.zeros((1, 4)),
+                jax.random.PRNGKey(0), mask=jnp.ones((1, 4)),
+            )

@@ -119,19 +119,18 @@ def lcd_loss(
     model_pred = c_skip_s * noisy + c_out_s * pred_x0
 
     # 8. teacher CFG estimate + one DDIM step (no-grad island).
-    # cond/uncond run as ONE batched forward (identical math — GroupNorm
-    # stats and attention are per-example): at the recipe's bs=1 a 2x batch
-    # costs ~1.2x one pass on the MXU, not 2x (PERF_NOTES r1 #3), cutting
-    # ~12% off the measured 986 ms full-size train step.
+    # cond/uncond deliberately run as TWO separate forwards: the batched
+    # single-pass variant was built and MEASURED SLOWER on v5e
+    # (1069 vs 986 ms/step full size — the UNet's HBM-bound ops scale
+    # linearly with batch while tiling gets worse; same effect as
+    # PERF_NOTES r1 #3 where per-video cost rises with batch).
     def teacher_branch():
-        both = teacher_apply(
-            teacher_params,
-            jnp.concatenate([noisy, noisy]),
-            jnp.concatenate([start_timesteps, start_timesteps]),
-            jnp.concatenate([ctx, uncond_ctx]),
-            fps=None if fps is None else jnp.concatenate([fps, fps]),
+        cond = teacher_apply(
+            teacher_params, noisy, start_timesteps, ctx, fps=fps
         ).astype(jnp.float32)
-        cond, uncond = jnp.split(both, 2)
+        uncond = teacher_apply(
+            teacher_params, noisy, start_timesteps, uncond_ctx, fps=fps
+        ).astype(jnp.float32)
         cx0 = predicted_origin(cond, start_timesteps, noisy, cfg.prediction_type, sched)
         ceps = predicted_noise(cond, start_timesteps, noisy, cfg.prediction_type, sched)
         ux0 = predicted_origin(uncond, start_timesteps, noisy, cfg.prediction_type, sched)

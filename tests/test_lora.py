@@ -13,27 +13,24 @@ from t2v_turbo_tpu.lora import (
     save_lora_npz,
     unet_attention_target,
 )
-from t2v_turbo_tpu.models import UNetConfig, UNetModel
+
+import tinymodels
 
 
-def tiny_unet():
-    cfg = UNetConfig(
-        model_channels=32,
-        num_res_blocks=1,
-        attention_resolutions=(2, 1),
-        channel_mult=(1, 2),
-        num_head_channels=16,
-        context_dim=16,
-        temporal_length=4,
-        time_cond_proj_dim=8,
-    )
-    model = UNetModel(cfg=cfg)
-    x = jnp.zeros((1, 4, 8, 8, 4))
-    params = model.init(
-        jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 7, 16)), timestep_cond=jnp.zeros((1, 8)),
-    )
-    return model, params, x
+def tiny_unet(_cache={}):
+    """The SHARED single-level tiny UNet (tinymodels.py), built once per
+    module, so the persistent compile cache dedupes with the trainer test
+    files (the old per-test two-level model cost ~210 s of serial XLA
+    compile in the full suite)."""
+    if "v" not in _cache:
+        model = tinymodels.tiny_unet()
+        x = jnp.zeros((1, 4, 8, 8, 4))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 7, 16)), timestep_cond=jnp.zeros((1, 8)),
+        )
+        _cache["v"] = (model, params, x)
+    return _cache["v"]
 
 
 class TestLoRA:

@@ -130,50 +130,88 @@ def ddim_sample_loop(
     cfg_scale: float = 1.0,
     uncond_model_fn=None,
     temperature: float = 1.0,
+    grid: str = "sampler",
+    eta: float = 0.0,
 ) -> jax.Array:
-    """Full DDIM sampling chain with optional eta noise and CFG — the
-    reference's standalone `DDIMSampler` surface
-    (lvdm/models/samplers/ddim.py:11, p_sample_ddim: e_t with classifier-free
-    mixing, pred_x0, dir_xt = sqrt(1 - a_prev - sigma^2)·e_t, plus
-    sigma·noise·temperature; dead code in the reference but part of the lvdm
-    API). TPU-first: the chain is one `lax.scan` over the DDIM grid.
+    """Full DDIM sampling chain with eta noise, CFG mixing, and the VC2
+    latent-scale correction — the reference's standalone `DDIMSampler`
+    surface (lvdm/models/samplers/ddim.py:306-430 p_sample_ddim; dead code
+    in the reference but part of the lvdm API). TPU-first: the chain is one
+    `lax.scan` over the DDIM grid.
+
+    `grid` selects the timestep discretization — the two reference
+    codepaths use DIFFERENT grids:
+      - "sampler" (default): `make_ddim_timesteps("uniform")` =
+        i*(T//N) + 1, i.e. 1..981 for T=1000, N=50 — what DDIMSampler
+        samples on (utils_diffusion.py:70-90). Tables are derived from the
+        solver's full alpha_cumprod table; `eta` sets the sigmas
+        (make_ddim_sampling_parameters). use_scale is not supported on
+        this grid (the solver doesn't carry the full scale_arr).
+      - "solver": the training-time DDIMSolver grid (i+1)*(T//N) - 1 =
+        19..999 with the solver's own precomputed tables, including the
+        VC2 scale correction when solver.use_scale (p_sample_ddim's
+        `pred_x0 /= scale_t; x_prev = sqrt(a_prev)·scale_prev·pred_x0 ...`,
+        reference ddim.py:412-427) and the solver's ddim_eta sigmas (the
+        `eta` argument is ignored).
 
     `model_fn(x, t_batch) -> eps` has conditioning closed over;
     `uncond_model_fn` likewise for the unconditional branch (required when
-    cfg_scale != 1). eta enters via the solver's precomputed `ddim_sigmas`
-    (DDIMSolver.create(ddim_eta=...)); `key` is required when eta > 0.
+    cfg_scale != 1). Noise is always emitted (sigma==0 folds it away under
+    XLA); with no `key` a fixed PRNGKey(0) is used, so eta>0 without a key
+    yields a correctly-distributed but run-to-run identical sample.
     """
     if cfg_scale != 1.0 and uncond_model_fn is None:
         raise ValueError("cfg_scale != 1 requires uncond_model_fn")
     n = solver.ddim_timesteps.shape[0]
     b = x_T.shape[0]
-    # noise is emitted iff a key was passed; with eta=0 the sigmas are zero
-    # and XLA constant-folds the term away, so passing a key is always safe
-    stochastic = key is not None
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    if grid == "sampler":
+        if solver.use_scale:
+            raise NotImplementedError(
+                "use_scale needs the full scale_arr; use grid='solver'"
+            )
+        T = solver.alpha_cumprods.shape[0]
+        ts = jnp.arange(n, dtype=jnp.int32) * (T // n) + 1
+        ac = jnp.take(solver.alpha_cumprods, ts)
+        ac_prev = jnp.concatenate([solver.alpha_cumprods[:1], ac[:-1]])
+        sigmas = eta * jnp.sqrt(
+            (1 - ac_prev) / (1 - ac) * (1 - ac / ac_prev)
+        )
+        scale_t = scale_prev = None
+    elif grid == "solver":
+        ts = solver.ddim_timesteps
+        ac = solver.ddim_alpha_cumprods
+        ac_prev = solver.ddim_alpha_cumprods_prev
+        sigmas = solver.ddim_sigmas
+        scale_t = solver.ddim_scale_arr if solver.use_scale else None
+        scale_prev = solver.ddim_scale_arr_prev if solver.use_scale else None
+    else:
+        raise ValueError(f"unknown grid: {grid!r}")
+
     def step(carry, i):
         x, k = carry
-        tb = jnp.full((b,), solver.ddim_timesteps[i], jnp.int32)
+        tb = jnp.full((b,), ts[i], jnp.int32)
         e_t = model_fn(x, tb)
         if cfg_scale != 1.0:
             e_u = uncond_model_fn(x, tb)
             e_t = e_u + cfg_scale * (e_t - e_u)
         nd = x.ndim
         idx = jnp.full((b,), i, jnp.int32)
-        a_t = extract(solver.ddim_alpha_cumprods, idx, nd)
-        a_prev = extract(solver.ddim_alpha_cumprods_prev, idx, nd)
-        sigma = extract(solver.ddim_sigmas, idx, nd)
+        a_t = extract(ac, idx, nd)
+        a_prev = extract(ac_prev, idx, nd)
+        sigma = extract(sigmas, idx, nd)
         pred_x0 = (x - jnp.sqrt(1.0 - a_t) * e_t) / jnp.sqrt(a_t)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * e_t
         k, sub = jax.random.split(k)
-        noise = (
-            sigma * jax.random.normal(sub, x.shape, x.dtype) * temperature
-            if stochastic
-            else 0.0
-        )
-        return (jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise, k), None
+        noise = sigma * jax.random.normal(sub, x.shape, x.dtype) * temperature
+        if scale_t is not None:
+            pred_x0 = pred_x0 / extract(scale_t, idx, nd)
+            x0_term = jnp.sqrt(a_prev) * extract(scale_prev, idx, nd) * pred_x0
+        else:
+            x0_term = jnp.sqrt(a_prev) * pred_x0
+        return (x0_term + dir_xt + noise, k), None
 
     (x, _), _ = jax.lax.scan(
         step, (x_T, key), jnp.arange(n - 1, -1, -1, dtype=jnp.int32)

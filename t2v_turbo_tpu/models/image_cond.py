@@ -122,11 +122,19 @@ def append_image_context(
 ) -> jax.Array:
     """Build the combined context the image-attention UNet splits back
     apart (CrossAttention.text_context_len): text rows padded/truncated to
-    `text_context_len`, image tokens appended after."""
+    `text_context_len`, image tokens appended after.
+
+    Padding repeats the LAST text row rather than inserting zeros: zero
+    rows would become attendable keys with logit exactly 0 (bias-free
+    to_k) and dilute the softmax over the real tokens, whereas repeating
+    the final (eot-like) embedding mirrors how CLIP text encoders fill
+    their own padded positions."""
     b, s, d = text_ctx.shape
     if s > text_context_len:
         text_ctx = text_ctx[:, :text_context_len]
     elif s < text_context_len:
-        pad = jnp.zeros((b, text_context_len - s, d), text_ctx.dtype)
+        pad = jnp.broadcast_to(
+            text_ctx[:, -1:, :], (b, text_context_len - s, d)
+        )
         text_ctx = jnp.concatenate([text_ctx, pad], axis=1)
     return jnp.concatenate([text_ctx, img_tokens.astype(text_ctx.dtype)], axis=1)

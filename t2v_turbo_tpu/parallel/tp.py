@@ -47,7 +47,10 @@ def tp_spec_for(path_str: str, leaf) -> P:
     """PartitionSpec for one UNet param leaf under model-axis TP."""
     if getattr(leaf, "ndim", 0) != 2 or not path_str.endswith("kernel"):
         return P()
-    if any(f"/{n}/" in path_str for n in ("to_q", "to_k", "to_v")):
+    if any(
+        f"/{n}/" in path_str
+        for n in ("to_q", "to_k", "to_v", "to_k_ip", "to_v_ip")
+    ):
         return P(None, "model")  # column parallel (per-head split)
     if "/to_out/" in path_str:
         return P("model", None)  # row parallel (psum on output)

@@ -128,7 +128,6 @@ class LCDTrainer:
             return apply_fn
 
         self._frozen = frozen
-        self._apply_fn = make_apply(frozen)
         opt_state = optimizer.init(trainable)
         self.state = {
             "trainable": trainable,
@@ -141,10 +140,22 @@ class LCDTrainer:
         # batch, not the params). Without an explicit placement the first
         # step takes UNCOMMITTED inputs but returns committed ones, so the
         # second call has a different jit signature and recompiles the
-        # whole multi-minute step program.
+        # whole multi-minute step program. Leaves the caller already
+        # committed (e.g. a TP-sharded teacher via shard_params_tp) are
+        # left alone — re-putting them to P() would replicate a
+        # deliberately sharded tree onto every device.
         rep = NamedSharding(self.mesh, P())
-        self.state = jax.device_put(self.state, rep)
-        self._frozen = jax.device_put(self._frozen, rep)
+
+        def commit(tree):
+            return jax.tree.map(
+                lambda a: a
+                if isinstance(a, jax.Array) and a.committed
+                else jax.device_put(a, rep),
+                tree,
+            )
+
+        self.state = commit(self.state)
+        self._frozen = commit(self._frozen)
 
         def loss_fn(trainable, batch, key, fr, ema=None):
             if loss_fn_override is not None:

@@ -426,7 +426,9 @@ class TestDDIMSampleLoop:
 
         solver, _ = self._solver()
         x = jnp.asarray(np.random.RandomState(0).randn(1, 8).astype(np.float32))
-        out = ddim_sample_loop(lambda z, t: jnp.zeros_like(z), solver, x)
+        out = ddim_sample_loop(
+            lambda z, t: jnp.zeros_like(z), solver, x, grid="solver"
+        )
         ac = np.asarray(solver.ddim_alpha_cumprods)
         ac_prev = np.asarray(solver.ddim_alpha_cumprods_prev)
         factor = np.sqrt(ac_prev[0] / ac[-1])
@@ -466,12 +468,52 @@ class TestDDIMSampleLoop:
         assert float(np.asarray(solver.ddim_sigmas).max()) > 0
         x = jnp.asarray(np.random.RandomState(2).randn(1, 8).astype(np.float32))
         model = lambda z, t: 0.05 * z
-        a = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(3))
-        b = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(3))
-        c = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(4))
+        # sampler grid: eta is the loop argument
+        a = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(3),
+                             eta=0.5)
+        b = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(3),
+                             eta=0.5)
+        c = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(4),
+                             eta=0.5)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         assert float(jnp.abs(a - c).max()) > 1e-6
         assert np.isfinite(np.asarray(a)).all()
+        # solver grid: eta comes from the solver's precomputed sigmas
+        s = ddim_sample_loop(model, solver, x, key=jax.random.PRNGKey(3),
+                             grid="solver")
+        assert float(jnp.abs(a - s).max()) > 1e-6  # different grid+sigmas
+        # no key + eta>0 still emits (fixed-seed) noise rather than
+        # silently under-dispersing
+        nk = ddim_sample_loop(model, solver, x, eta=0.5)
+        det = ddim_sample_loop(model, solver, x, eta=0.0)
+        assert float(jnp.abs(nk - det).max()) > 1e-6
+
+    def test_scale_correction_on_solver_grid(self):
+        """use_scale applies pred_x0/scale_t and sqrt(a_prev)*scale_prev
+        (reference ddim.py:412-427); with eps=0 each step multiplies by
+        sqrt(a_prev/a_t) * scale_prev/scale_t and the chain telescopes."""
+        from t2v_turbo_tpu.diffusion import DiffusionSchedule
+        from t2v_turbo_tpu.diffusion.ddim import DDIMSolver, ddim_sample_loop
+
+        sched = DiffusionSchedule.create(use_scale=True)
+        solver = DDIMSolver.create(
+            np.asarray(sched.alphas_cumprod), ddim_timesteps=10,
+            use_scale=True,
+        )
+        x = jnp.asarray(np.random.RandomState(4).randn(1, 6).astype(np.float32))
+        out = ddim_sample_loop(
+            lambda z, t: jnp.zeros_like(z), solver, x, grid="solver"
+        )
+        ac = np.asarray(solver.ddim_alpha_cumprods)
+        acp = np.asarray(solver.ddim_alpha_cumprods_prev)
+        s = np.asarray(solver.ddim_scale_arr)
+        sp = np.asarray(solver.ddim_scale_arr_prev)
+        factor = np.prod(np.sqrt(acp / ac) * (sp / s))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(x) * factor, rtol=3e-4
+        )
+        with pytest.raises(NotImplementedError, match="scale"):
+            ddim_sample_loop(lambda z, t: z, solver, x)  # sampler grid
 
 
 class TestPSampleLoopMask:

@@ -71,12 +71,16 @@ class TestImageCondEncoder:
 
 class TestAppendImageContext:
     def test_pad_and_append(self):
-        txt = jnp.ones((2, 7, 8))
+        txt = jnp.concatenate(
+            [jnp.ones((2, 6, 8)), jnp.full((2, 1, 8), 3.0)], axis=1
+        )
         img = jnp.full((2, 4, 8), 2.0)
         ctx = append_image_context(txt, img, text_context_len=10)
         assert ctx.shape == (2, 14, 8)
-        np.testing.assert_allclose(np.asarray(ctx[:, :7]), 1.0)
-        np.testing.assert_allclose(np.asarray(ctx[:, 7:10]), 0.0)  # pad
+        np.testing.assert_allclose(np.asarray(ctx[:, :6]), 1.0)
+        # pad repeats the LAST text row (not zeros — zero keys would
+        # dilute the cross-attention softmax)
+        np.testing.assert_allclose(np.asarray(ctx[:, 6:10]), 3.0)
         np.testing.assert_allclose(np.asarray(ctx[:, 10:]), 2.0)
 
     def test_truncate(self):

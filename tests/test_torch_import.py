@@ -380,3 +380,78 @@ class TestImageCrossAttentionParity:
         ctx2 = ctx.at[:, 5:, :].set(0.0)
         o2 = attn.apply(params, x, context=ctx2)
         assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+
+def _gen_ddim_sampler_golden():
+    """Reference DDIMSampler chain (lvdm/models/samplers/ddim.py) on a
+    deterministic stand-in eps model, eta=0, 10 steps, T=100 — the
+    timestep grid (make_ddim_timesteps 'uniform': i*ratio+1) and per-step
+    math are the parity surface."""
+    torch = _torch_and_reference()
+    from lvdm.models.samplers.ddim import DDIMSampler
+
+    # register_buffer hard-moves to CUDA (ddim.py:19-23); neutralize on CPU
+    DDIMSampler.register_buffer = lambda self, name, attr: setattr(
+        self, name, attr
+    )
+
+    import numpy as _np
+
+    T = 100
+    betas_np = _np.linspace(0.00085**0.5, 0.012**0.5, T) ** 2
+    ac = _np.cumprod(1 - betas_np)
+
+    class Stub:
+        num_timesteps = T
+        device = torch.device("cpu")
+        use_scale = False
+        alphas_cumprod = torch.tensor(ac, dtype=torch.float64)
+        alphas_cumprod_prev = torch.tensor(
+            _np.append(1.0, ac[:-1]), dtype=torch.float64
+        )
+        betas = torch.tensor(betas_np, dtype=torch.float64)
+
+        def apply_model(self, x, t, c, **kw):
+            return 0.05 * x
+
+    sampler = DDIMSampler(Stub())
+    sampler.make_schedule(ddim_num_steps=10, ddim_eta=0.0, verbose=False)
+    x = torch.from_numpy(
+        _np.random.RandomState(0).randn(1, 8).astype(_np.float32)
+    )
+    x_T = x.clone()
+    with torch.no_grad():
+        for i in reversed(range(10)):
+            t = torch.full((1,), int(sampler.ddim_timesteps[i]))
+            x, _ = sampler.p_sample_ddim(x, None, t, index=i)
+    return {
+        "in.x_T": x_T.numpy(),
+        "out.x0": x.numpy(),
+        "meta.ts": _np.asarray(sampler.ddim_timesteps),
+    }
+
+
+class TestDDIMSamplerParity:
+    def test_chain_matches_reference(self):
+        from t2v_turbo_tpu.diffusion import DiffusionSchedule
+        from t2v_turbo_tpu.diffusion.ddim import DDIMSolver, ddim_sample_loop
+
+        g = _golden("ddim_sampler_chain", _gen_ddim_sampler_golden)
+        sched = DiffusionSchedule.create(num_timesteps=100)
+        solver = DDIMSolver.create(
+            np.asarray(sched.alphas_cumprod), timesteps=100, ddim_timesteps=10
+        )
+        # same uniform grid as make_ddim_timesteps
+        T, n = 100, 10
+        expect_ts = np.arange(n) * (T // n) + 1
+        np.testing.assert_array_equal(g["meta.ts"], expect_ts)
+        out = ddim_sample_loop(
+            lambda z, t: 0.05 * z, solver, jnp.asarray(g["in.x_T"]),
+            grid="sampler",
+        )
+        # the torch chain broadcasts to (b,1,1,8) via its `size` tuple;
+        # compare value-wise
+        np.testing.assert_allclose(
+            np.asarray(out), g["out.x0"].reshape(np.asarray(out).shape),
+            atol=2e-5, rtol=1e-4,
+        )

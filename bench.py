@@ -15,6 +15,7 @@ VAE decode). The north-star target is 3x that (36 videos/min/chip).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -42,7 +43,10 @@ def train_bench():
     enable_persistent_cache()
     dtype = jnp.bfloat16
     cfg = UNetConfig(time_cond_proj_dim=256)
-    student = UNetModel(cfg=cfg, dtype=dtype, use_remat=True)
+    # BENCH_REMAT=0 measures the no-remat student: OOMs at full size
+    # (18.4 G > 15.75 G hbm) — remat is required, not just preferred
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    student = UNetModel(cfg=cfg, dtype=dtype, use_remat=remat)
     tcfg = UNetConfig(**{**cfg.__dict__, "time_cond_proj_dim": None})
     teacher = UNetModel(cfg=tcfg, dtype=dtype, use_remat=True)
 

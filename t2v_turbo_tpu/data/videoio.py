@@ -165,11 +165,18 @@ def encode(path: str, frames: np.ndarray, fps: float = 8.0, codec: str = "") -> 
 class VideoDecoder:
     """Threaded batch decoder (GIL released in libav)."""
 
-    def __init__(self, n_frames=16, target_fps=8.0, width=0, height=0, workers=8):
+    def __init__(
+        self, n_frames=16, target_fps=8.0, width=0, height=0, workers=None
+    ):
         self.n_frames = n_frames
         self.target_fps = target_fps
         self.width = width
         self.height = height
+        if workers is None:
+            # one decode thread per core: oversubscription actively hurts
+            # (measured 2.5x slower aggregate with 4 threads on a 1-core
+            # host — libav per-thread contexts thrash the cache)
+            workers = os.cpu_count() or 1
         self.pool = ThreadPoolExecutor(max_workers=workers)
 
     def decode_batch(

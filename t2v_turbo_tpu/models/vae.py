@@ -79,14 +79,15 @@ class AttnBlock(nn.Module):
         n, h, w, c = x.shape
         hn = GroupNorm(32, eps=1e-6, name="norm")(x)
         # 1x1 convs == per-pixel Dense
-        q = nn.Dense(c, dtype=self.dtype, name="q")(hn).reshape(n, h * w, c)
-        k = nn.Dense(c, dtype=self.dtype, name="k")(hn).reshape(n, h * w, c)
-        v = nn.Dense(c, dtype=self.dtype, name="v")(hn).reshape(n, h * w, c)
-        logits = jnp.einsum(
-            "nqc,nkc->nqk", q, k, preferred_element_type=jnp.float32
-        ) * (c**-0.5)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("nqk,nkc->nqc", probs, v).reshape(n, h, w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(hn).reshape(n, h * w, 1, c)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(hn).reshape(n, h * w, 1, c)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(hn).reshape(n, h * w, 1, c)
+        # same dispatcher as the UNet (flash for long S, XLA einsum below
+        # the threshold): avoids materializing the (N, HW, HW) f32 logits
+        # (420 MB at 16 frames of 320x512)
+        from ..ops.attention import sdpa_bshd
+
+        out = sdpa_bshd(q, k, v, scale=c**-0.5).reshape(n, h, w, c)
         return x + nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
 
 

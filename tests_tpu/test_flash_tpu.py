@@ -59,6 +59,10 @@ if __name__ == "__main__":
     ok &= parity(16, 5, 2560, 2560, 64, jnp.bfloat16, 5e-2)
     # cross-attn (77 text tokens)
     ok &= parity(16, 5, 2560, 77, 64, jnp.bfloat16, 5e-2)
+    # VAE mid-block bottleneck: single head, d=512 (models/vae.py AttnBlock
+    # routes through sdpa_bshd; the reward-training path backprops through
+    # this shape)
+    ok &= parity(4, 1, 2560, 2560, 512, jnp.bfloat16, 5e-2)
     bench(16, 5, 2560, 2560, 64, jnp.bfloat16)
     bench(16, 10, 640, 640, 64, jnp.bfloat16)
     bench(16, 5, 2560, 77, 64, jnp.bfloat16)

@@ -60,16 +60,23 @@ def parse_args(argv=None):
                    help="mesh seq axis size (temporal sharding)")
     # reward feedback (reference --reward_fn_name/--video_rm_name etc.)
     p.add_argument("--reward-fn", default="none",
-                   choices=["none", "clip", "hpsv2", "pick"])
+                   choices=["none", "clip", "hpsv2", "pick", "img_reward"])
     p.add_argument("--reward-ckpt", default=None,
-                   help="open_clip/HF checkpoint for the image reward tower")
+                   help="open_clip/HF/ImageReward checkpoint for the image "
+                        "reward tower")
+    p.add_argument("--bert-vocab", default=None,
+                   help="BERT vocab.txt for the img_reward / vi_clip2 text "
+                        "towers (smoke runs fall back to a hash tokenizer)")
     p.add_argument("--reward-scale", type=float, default=1.0)
     p.add_argument("--reward-frames", type=int, default=5,
                    help="random frames scored per sample")
     p.add_argument("--reward-fraction", type=float, default=0.75,
                    help="fraction of each batch carrying the image-reward "
                         "loss (role-as-data mask)")
-    p.add_argument("--video-rm-fn", default="none", choices=["none", "vi_clip"])
+    p.add_argument("--video-rm-fn", default="none",
+                   choices=["none", "vi_clip", "vi_clip2"],
+                   help="video reward tower; vi_clip2 (InternVideo2) is the "
+                        "reference's default (train_t2v_turbo_v1_lora.py:518-520)")
     p.add_argument("--video-rm-ckpt", default=None)
     p.add_argument("--video-reward-scale", type=float, default=1.0)
     p.add_argument("--video-rm-frames", type=int, default=8)
@@ -210,7 +217,46 @@ def main(argv=None):
                                         layers=2, context_length=77,
                                         penultimate=False),
             )
-        if args.reward_fn != "none":
+        bert_tok = None
+        if args.bert_vocab:
+            from ..utils.bert_tokenizer import BertWordPieceTokenizer
+
+            bert_tok = BertWordPieceTokenizer(args.bert_vocab)
+        if args.reward_fn == "img_reward":
+            from ..rewards.blip import (
+                BertConfig,
+                BlipViTConfig,
+                build_image_reward_blip,
+            )
+            from ..rewards.reward_fn import BlipTrainReward
+
+            weights = None
+            if args.reward_ckpt:
+                from ..io.torch_import import (
+                    import_image_reward_params,
+                    load_torch_state_dict,
+                )
+
+                weights = import_image_reward_params(
+                    load_torch_state_dict(args.reward_ckpt)
+                )
+            bkw = {}
+            if args.tiny_model:
+                bkw = dict(
+                    vit_cfg=BlipViTConfig(image_size=28, patch_size=14,
+                                          width=32, layers=2, heads=4),
+                    bert_cfg=BertConfig(vocab_size=30524, hidden=32, layers=2,
+                                        heads=4, intermediate=64,
+                                        encoder_width=32),
+                    head_dims=(8, 1),
+                )
+            rm = BlipTrainReward(
+                build_image_reward_blip(weights=weights, **bkw),
+                tokenizer=bert_tok,
+            )
+            reward_models["image"] = rm
+            reward_fn = make_image_reward_fn(rvae, rvae_params, rm)
+        elif args.reward_fn != "none":
             from ..rewards.reward_fn import build_image_reward_model
 
             weights = None
@@ -230,7 +276,46 @@ def main(argv=None):
             rm = build_image_reward_model(weights=weights, **tiny_kw)
             reward_models["image"] = rm
             reward_fn = make_image_reward_fn(rvae, rvae_params, rm)
-        if args.video_rm_fn != "none":
+        if args.video_rm_fn == "vi_clip2":
+            from ..rewards.blip import BertConfig
+            from ..rewards.internvideo2 import (
+                IV2VisionConfig,
+                build_internvideo2_reward,
+            )
+            from ..rewards.reward_fn import InternVideo2TrainReward
+
+            weights = None
+            if args.video_rm_ckpt:
+                from ..io.torch_import import (
+                    import_internvideo2_params,
+                    load_torch_state_dict,
+                )
+
+                weights = import_internvideo2_params(
+                    load_torch_state_dict(args.video_rm_ckpt)
+                )
+            ikw = {}
+            if args.tiny_model:
+                ikw = dict(
+                    vision_cfg=IV2VisionConfig(img_size=28, patch_size=14,
+                                               width=32, depth=2, heads=4,
+                                               mlp_hidden=64, num_frames=4,
+                                               clip_embed_dim=16,
+                                               attn_pool_heads=4),
+                    text_cfg=BertConfig(vocab_size=30524, hidden=32, layers=2,
+                                        heads=4, intermediate=64,
+                                        cross_attention=False,
+                                        encoder_width=32),
+                    embed_dim=16,
+                )
+            vrm = InternVideo2TrainReward(
+                build_internvideo2_reward(weights=weights, **ikw),
+                tokenizer=bert_tok,
+                image_size=28 if args.tiny_model else 224,
+            )
+            reward_models["video"] = vrm
+            video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm)
+        elif args.video_rm_fn != "none":
             from ..rewards.reward_fn import build_video_reward_model
 
             weights = None

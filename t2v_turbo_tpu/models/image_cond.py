@@ -15,9 +15,9 @@ already exist here:
 
 TPU notes: preprocessing is pure jnp (resize on device, fused with the
 tower's first conv under jit); the reference's kornia bicubic-with-
-antialias resize is approximated by jax.image.resize(method="cubic") —
-identical kernels, no antialias prefilter (only matters when downscaling
-by >2x, which the 320x512 -> 224x224 path does not hit).
+antialias resize maps to jax.image.resize(method="cubic"), which also
+antialiases by default when downscaling — matching behavior, including on
+the 512 -> 224 (~2.3x) downscale of the standard input path.
 """
 
 from __future__ import annotations

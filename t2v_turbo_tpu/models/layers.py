@@ -122,7 +122,19 @@ class CrossAttention(nn.Module):
         ctx_img = None
         if self.img_cross_attention:
             # the reference splits after context-defaulting, so the image
-            # branch applies to whatever context the layer sees
+            # branch applies to whatever context the layer sees. A context
+            # without appended image tokens would leave ctx_img empty and
+            # softmax over zero keys emits NaN (the reference fails the
+            # same way, silently — lvdm/modules/attention.py:81-83) — so
+            # reject it at trace time instead.
+            if ctx.shape[1] <= self.text_context_len:
+                raise ValueError(
+                    f"img_cross_attention=True needs image tokens appended "
+                    f"beyond text_context_len={self.text_context_len}, but "
+                    f"context has only {ctx.shape[1]} tokens; append image "
+                    "context (models/image_cond.py append_image_context) or "
+                    "build the UNet without use_image_attention."
+                )
             ctx, ctx_img = (
                 ctx[:, : self.text_context_len, :],
                 ctx[:, self.text_context_len :, :],

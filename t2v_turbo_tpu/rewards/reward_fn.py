@@ -219,6 +219,83 @@ def build_video_reward_model(
     return VideoRewardModel(vision, vp, text, tp, tokenizer)
 
 
+class _HashTokenizer:
+    """Deterministic fallback tokenizer for smoke/CI runs without a BERT
+    vocab file: stable per-word hash ids. NOT for real training — pass a
+    BertWordPieceTokenizer (utils/bert_tokenizer.py) with the published
+    vocab for reference-matching text encoding."""
+
+    def __init__(self, max_length: int = 35, vocab_size: int = 30522):
+        self.max_length, self.vocab_size = max_length, vocab_size
+        self.pad_id = 0
+
+    def __call__(self, texts):
+        import hashlib
+
+        out = np.zeros((len(texts), self.max_length), np.int32)
+        for i, t in enumerate(texts):
+            words = str(t).lower().split()[: self.max_length - 2]
+            ids = [101] + [
+                int(hashlib.md5(w.encode()).hexdigest()[:6], 16)
+                % (self.vocab_size - 999) + 999
+                for w in words
+            ] + [102]
+            out[i, : len(ids)] = ids
+        return out, (out != 0).astype(np.int32)
+
+
+class BlipTrainReward:
+    """Training-loop facade over rewards.blip.ImageRewardModel with the
+    CLIP-reward interface the LCD adapters expect: `encode_texts` produces
+    the per-batch host-side field and `score(images01, field)` scores
+    decoded frames. The field is BERT token ids (ints ride through the
+    `reward_text_feats` batch slot unchanged). Matches reference
+    reward_fn.py:128-174: CLIP-normalized 224 bicubic resize, BLIP
+    tokenizer max_length=35, final reward -relu(-r + 2)."""
+
+    def __init__(self, rm, tokenizer=None, max_length: int = 35):
+        self.rm = rm
+        self.tokenizer = tokenizer or _HashTokenizer(max_length=max_length)
+
+    def encode_texts(self, texts: Sequence[str]):
+        ids = self.tokenizer(list(texts))
+        return ids[0] if isinstance(ids, tuple) else np.asarray(ids)
+
+    def score(self, images: jax.Array, token_ids: jax.Array, logits=False):
+        del logits
+        px = preprocess_images(images, size=self.rm.vit.cfg.image_size)
+        token_ids = token_ids.astype(jnp.int32)
+        mask = (token_ids != 0).astype(jnp.int32)
+        r = self.rm.score(px, token_ids, mask)
+        return -jax.nn.relu(-r + 2.0)  # reference reward_fn.py:172
+
+
+class InternVideo2TrainReward:
+    """Training-loop facade over rewards.internvideo2.InternVideo2RewardModel
+    (reference reward_fn.py:234-281, the v1 trainer's DEFAULT video RM —
+    train_t2v_turbo_v1_lora.py:518-520): ViCLIP-normalized min-side 224
+    resize on the grad path, no-grad text features precomputed host-side."""
+
+    def __init__(self, rm, tokenizer=None, image_size: int = 224):
+        self.rm = rm
+        self.image_size = image_size
+        if tokenizer is not None:
+            self.rm.tokenizer = tokenizer
+
+    def encode_texts(self, texts: Sequence[str]) -> jax.Array:
+        if self.rm.tokenizer is None:
+            tok = _HashTokenizer(max_length=40)
+            ids, mask = tok(list(texts))
+            return self.rm.encode_texts_tokens(jnp.asarray(ids), jnp.asarray(mask))
+        return self.rm.encode_texts(list(texts))
+
+    def score(self, videos: jax.Array, text_feats: jax.Array) -> jax.Array:
+        px = preprocess_images(
+            videos, size=self.image_size, mean=VICLIP_MEAN, std=VICLIP_STD
+        )
+        return self.rm.score(px, text_feats)
+
+
 def get_reward_fn(name: str, weights: Optional[dict] = None, **kw) -> Callable:
     """Factory matching reference reward_fn.py:342-358 names."""
     if name in ("clip", "hpsv2", "pick"):

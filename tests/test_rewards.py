@@ -144,3 +144,55 @@ class TestFactory:
         # vi_clip2 is implemented (see tests/test_internvideo2.py)
         with pytest.raises(ValueError):
             get_reward_fn("nope")
+
+
+class TestTrainFacades:
+    """BlipTrainReward / InternVideo2TrainReward expose the CLIP-reward
+    interface (encode_texts -> batch field, score(images01, field)) so the
+    reference's img_reward / vi_clip2 towers plug into the v1/v2 trainer
+    adapters (reference train_t2v_turbo_v1_lora.py:518-520 default)."""
+
+    def test_blip_train_reward_grad(self):
+        from t2v_turbo_tpu.rewards.blip import (
+            BertConfig, BlipViTConfig, build_image_reward_blip,
+        )
+        from t2v_turbo_tpu.rewards.reward_fn import BlipTrainReward
+
+        rm = BlipTrainReward(build_image_reward_blip(
+            vit_cfg=BlipViTConfig(image_size=28, patch_size=14, width=32,
+                                  layers=1, heads=4),
+            bert_cfg=BertConfig(vocab_size=30524, hidden=24, layers=1,
+                                heads=4, intermediate=48, encoder_width=32),
+            head_dims=(8, 1),
+        ))
+        ids = rm.encode_texts(["a cat", "a dog runs"])
+        assert ids.shape == (2, 35) and ids.dtype == np.int32
+        imgs = jnp.full((2, 32, 48, 3), 0.5)
+        s = rm.score(imgs, jnp.asarray(ids))
+        assert s.shape == (2,) and bool(jnp.all(s <= 0))  # -relu(-r+2) <= 0
+        g = jax.grad(lambda im: rm.score(im, jnp.asarray(ids)).sum())(imgs)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_iv2_train_reward_grad(self):
+        from t2v_turbo_tpu.rewards.blip import BertConfig
+        from t2v_turbo_tpu.rewards.internvideo2 import (
+            IV2VisionConfig, build_internvideo2_reward,
+        )
+        from t2v_turbo_tpu.rewards.reward_fn import InternVideo2TrainReward
+
+        rm = InternVideo2TrainReward(build_internvideo2_reward(
+            vision_cfg=IV2VisionConfig(img_size=28, patch_size=14, width=32,
+                                       depth=1, heads=4, mlp_hidden=64,
+                                       num_frames=4, clip_embed_dim=16,
+                                       attn_pool_heads=4),
+            text_cfg=BertConfig(vocab_size=30524, hidden=24, layers=1,
+                                heads=4, intermediate=48,
+                                cross_attention=False, encoder_width=32),
+            embed_dim=16,
+        ), image_size=28)
+        tf = rm.encode_texts(["a cat", "a dog"])
+        vids = jnp.full((2, 4, 32, 48, 3), 0.5)
+        s = rm.score(vids, tf)
+        assert s.shape == (2,)
+        g = jax.grad(lambda v: rm.score(v, tf).sum())(vids)
+        assert float(jnp.abs(g).sum()) > 0

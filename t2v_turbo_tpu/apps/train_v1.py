@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=453645634)
     p.add_argument("--seq-shards", type=int, default=1,
                    help="mesh seq axis size (temporal sharding)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer state over the data axis "
+                        "(ZeRO-3)")
     # reward feedback (reference --reward_fn_name/--video_rm_name etc.)
     p.add_argument("--reward-fn", default="none",
                    choices=["none", "clip", "hpsv2", "pick", "img_reward"])
@@ -376,6 +379,7 @@ def main(argv=None):
             seed=args.seed,
             log_every=1,
             grad_accum_steps=args.gradient_accumulation_steps,
+            fsdp=args.fsdp,
         ),
         mesh=mesh,
     )

@@ -45,6 +45,13 @@ def parse_args(argv=None):
                         "training (reference: accelerate multi-node DDP)")
     p.add_argument("--use-remat", action="store_true",
                    help="per-block activation rematerialization (reference use_checkpoint)")
+    p.add_argument("--seq-shards", type=int, default=1,
+                   help="mesh seq axis size (temporal sharding)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer state + EMA over the data "
+                        "axis (ZeRO-3; fits full-model training on 16 GB "
+                        "chips — the reference relies on replicated DDP + "
+                        "AdamW8bit instead)")
     return p.parse_args(argv)
 
 
@@ -175,8 +182,9 @@ def main(argv=None):
             seed=args.seed,
             log_every=1,
             grad_accum_steps=args.gradient_accumulation_steps,
+            fsdp=args.fsdp,
         ),
-        mesh=make_mesh(),
+        mesh=make_mesh(seq=args.seq_shards),
         loss_fn_override=lambda trainable, batch, key, ema=None: lcd_v2_loss(
             trainable, batch, key,
             student_apply=apply,

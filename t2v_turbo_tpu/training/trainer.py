@@ -55,6 +55,16 @@ class TrainerConfig:
     # micro-batches before one optimizer update; max_steps counts
     # micro-steps, so set max_steps = updates * K.
     grad_accum_steps: int = 1
+    # FSDP/ZeRO-3: shard trainable params, optimizer state, EMA, and the
+    # frozen towers over the mesh's "data" axis (parallel/fsdp.py). The
+    # reference has no analog (DDP replicates the model on every rank and
+    # leans on AdamW8bit for optimizer memory); on a 16 GB chip this is
+    # what makes full-model v2 training fit. Replicated when False.
+    fsdp: bool = False
+    # leaves with fewer elements stay replicated under fsdp (gathering a
+    # 1 KB bias costs more than its shard saves); tests set 0 to force
+    # sharding of tiny trees
+    fsdp_min_size: int = 1 << 14
 
 
 class LCDTrainer:
@@ -136,26 +146,41 @@ class LCDTrainer:
         }
         if cfg.ema_decay is not None:
             self.state["ema"] = jax.tree.map(jnp.copy, trainable)
-        # Commit state + frozen to the mesh (replicated — DP shards the
-        # batch, not the params). Without an explicit placement the first
+        # Commit state + frozen to the mesh. Default: replicated (DP shards
+        # the batch, not the params). cfg.fsdp: every large leaf sharded
+        # over "data" (parallel/fsdp.py) — params, Adam moments, EMA, and
+        # the frozen towers — XLA all-gathers weights per layer and
+        # reduce-scatters grads. Without an explicit placement the first
         # step takes UNCOMMITTED inputs but returns committed ones, so the
         # second call has a different jit signature and recompiles the
         # whole multi-minute step program. Leaves the caller already
         # committed (e.g. a TP-sharded teacher via shard_params_tp) are
-        # left alone — re-putting them to P() would replicate a
-        # deliberately sharded tree onto every device.
+        # left alone — re-putting them would undo a deliberate layout.
         rep = NamedSharding(self.mesh, P())
+        if cfg.fsdp:
+            from ..parallel.fsdp import fsdp_shardings
 
-        def commit(tree):
+            state_sh = fsdp_shardings(
+                self.mesh, self.state, min_size=cfg.fsdp_min_size
+            )
+            frozen_sh = fsdp_shardings(
+                self.mesh, self._frozen, min_size=cfg.fsdp_min_size
+            )
+        else:
+            state_sh = jax.tree.map(lambda _: rep, self.state)
+            frozen_sh = jax.tree.map(lambda _: rep, self._frozen)
+
+        def commit(tree, sh):
             return jax.tree.map(
-                lambda a: a
+                lambda a, s: a
                 if isinstance(a, jax.Array) and a.committed
-                else jax.device_put(a, rep),
+                else jax.device_put(a, s),
                 tree,
+                sh,
             )
 
-        self.state = commit(self.state)
-        self._frozen = commit(self._frozen)
+        self.state = commit(self.state, state_sh)
+        self._frozen = commit(self._frozen, frozen_sh)
 
         def loss_fn(trainable, batch, key, fr, ema=None):
             if loss_fn_override is not None:
@@ -211,7 +236,17 @@ class LCDTrainer:
             metrics["grad_norm"] = gnorm
             return new_state, metrics
 
-        _jitted_step = jax.jit(step_fn, donate_argnums=(0,))
+        # Pin the output state to the input layout: donation then reuses the
+        # buffers, and under FSDP this is what makes GSPMD emit the ZeRO
+        # pattern (reduce-scatter grads -> sharded update) instead of
+        # gathering the update and resharding after. Metrics are scalars,
+        # replicated.
+        self._state_shardings = jax.tree.map(lambda a: a.sharding, self.state)
+        _jitted_step = jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            out_shardings=(self._state_shardings, rep),
+        )
 
         def _step(state, batch, key):
             return _jitted_step(state, batch, key, self._frozen)
@@ -232,12 +267,20 @@ class LCDTrainer:
         latest = self.ckpt_mgr.latest_step()
         if latest is None:
             return 0
-        restored = self.ckpt_mgr.restore(
-            latest, args=ocp.args.StandardRestore(self.state)
+        # Restore INTO the shardings the live state already carries (FSDP /
+        # TP layouts included): an abstract target with sharding makes orbax
+        # place each restored leaf directly. The r2 path restored then
+        # device_put to P(), which silently re-replicated sharded state —
+        # both an OOM risk and a signature change for the jitted step.
+        target = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+            if isinstance(a, jax.Array)
+            else a,
+            self.state,
         )
-        # re-commit to the mesh: restored arrays come back with default
-        # placement, which would change the step's jit signature
-        self.state = jax.device_put(restored, NamedSharding(self.mesh, P()))
+        self.state = self.ckpt_mgr.restore(
+            latest, args=ocp.args.StandardRestore(target)
+        )
         return int(latest)
 
     def save(self, step: int):

@@ -119,6 +119,7 @@ def main(argv=None):
                 f"synthetic_{i:06d}",
                 jnp.asarray(rng.randn(*lat_shape).astype(np.float32)) * 0.2,
                 jnp.asarray(rng.randn(*ctx_shape).astype(np.float32)),
+                f"synthetic sample {i}",
             )
 
     def from_videos():
@@ -155,7 +156,8 @@ def main(argv=None):
                 item = ds[i]
                 v = jnp.asarray(item["video"])[None]
                 z = encode(v.reshape(-1, *v.shape[2:]))[None]
-                yield f"sample_{i:06d}", z, embed(jnp.asarray(tok([item["text"]])))
+                yield (f"sample_{i:06d}", z,
+                       embed(jnp.asarray(tok([item["text"]]))), item["text"])
         else:
             from ..data.webdata import WebVideoDataset
 
@@ -169,19 +171,21 @@ def main(argv=None):
                     break
                 v = jnp.asarray(batch["video"])
                 z = encode(v.reshape(-1, *v.shape[2:]))[None]
-                yield f"sample_{i:06d}", z, embed(jnp.asarray(tok(batch["txt"])))
+                yield (f"sample_{i:06d}", z,
+                       embed(jnp.asarray(tok(batch["txt"]))), batch["txt"][0])
 
     source = synthetic() if args.synthetic_data else from_videos()
     uncond = jnp.zeros(ctx_shape)
 
     written = 0
-    for name, latents, ctx in source:
+    for name, latents, ctx, txt in source:
         key, sub = jax.random.split(key)
         d = preprocess_sample(
             latents=latents, prompt_emb=ctx, uncond_emb=uncond, key=sub,
             teacher_apply=apply,
             teacher_apply_mutable=None if args.no_motion_prior else apply_mut,
             teacher_params=params, sched=sched, solver=solver, cfg=cfg,
+            txt=txt,
         )
         print(save_sample(args.output_dir, name, d))
         written += 1

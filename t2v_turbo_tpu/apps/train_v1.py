@@ -93,92 +93,13 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def main(argv=None):
-    args = parse_args(argv)
+def build_reward_stack(args, spec):
+    """Build the differentiable reward towers from the shared reward CLI
+    flags (used by both the v1 and v2 trainer apps; reference flag surface
+    train_t2v_turbo_v1_lora.py:506-547 / train_latent_t2v_turbo_v2.py:
+    507-573). Returns (reward_fn, video_reward_fn, reward_models)."""
     import jax
-
-    if args.multihost:
-        from ..parallel.multihost import initialize
-
-        initialize()
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-
-    from ..utils.cache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-    from ..diffusion import DDIMSolver
-    from ..models.unet_vc2 import UNetConfig, UNetModel
-    from ..parallel.mesh import make_mesh
-    from ..training.lcd import LCDConfig
-    from ..training.optim import make_optimizer
-    from ..io.torch_export import vc2_reference_lora_target
-    from ..training.trainer import LCDTrainer, TrainerConfig
-
-    if args.tiny_model:
-        ucfg = UNetConfig(
-            model_channels=32, num_res_blocks=1, attention_resolutions=(2, 1),
-            channel_mult=(1, 2), num_head_channels=16, context_dim=16,
-            temporal_length=4, time_cond_proj_dim=8,
-        )
-        ctx_dim, lat_hw, frames, wdim = 16, (8, 8), 4, 8
-        from ..config import VC2ModelSpec  # noqa: F401  (not needed for tiny)
-        spec = None
-    else:
-        from ..config import load_vc2_config
-
-        spec = load_vc2_config(args.config, time_cond_proj_dim=256)
-        ucfg = spec.unet
-        ctx_dim = ucfg.context_dim
-        lat_hw = (args.height // 8, args.width // 8)
-        frames, wdim = args.n_frames, 256
-
-    student = UNetModel(cfg=ucfg, dtype=jnp.bfloat16 if not args.tiny_model else jnp.float32,
-                        use_remat=args.use_remat)
-    tcfg = UNetConfig(**{**ucfg.__dict__, "time_cond_proj_dim": None})
-    teacher = UNetModel(cfg=tcfg, dtype=student.dtype)
-
-    b = args.batch_size if not args.tiny_model else 4
-    frames_eff = frames
-    x = jnp.zeros((1, frames_eff, *lat_hw, ucfg.in_channels))
-    ctx0 = jnp.zeros((1, 7 if args.tiny_model else 77, ctx_dim))
-    ts0 = jnp.zeros((1,), jnp.int32)
-
-    if args.checkpoint:
-        from ..io.torch_import import (
-            import_unet_params,
-            load_torch_state_dict,
-            split_vc2_checkpoint,
-        )
-
-        sd = load_torch_state_dict(args.checkpoint)
-        unet_sd, _, _ = split_vc2_checkpoint(sd)
-        teacher_params = {"params": import_unet_params(unet_sd, tcfg)}
-        # student = teacher weights + fresh (zero) time_cond_proj
-        sp = dict(import_unet_params(unet_sd, ucfg))
-        sp["time_cond_proj"] = {
-            "kernel": np.zeros((ucfg.time_cond_proj_dim, ucfg.model_channels), np.float32)
-        }
-        student_params = {"params": sp}
-    elif args.random_weights:
-        student_params = student.init(
-            jax.random.PRNGKey(0), x, ts0, ctx0,
-            timestep_cond=jnp.zeros((1, wdim)),
-        )
-        teacher_params = teacher.init(jax.random.PRNGKey(1), x, ts0, ctx0)
-    else:
-        print("error: provide --checkpoint or --random-weights", file=sys.stderr)
-        sys.exit(2)
-
-    from ..diffusion import DiffusionSchedule
-
-    sched = DiffusionSchedule.create()
-    solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod),
-                               ddim_timesteps=args.num_ddim_timesteps)
-    mesh = make_mesh(seq=args.seq_shards)
 
     # optional differentiable reward feedback
     reward_fn = video_reward_fn = None
@@ -342,6 +263,97 @@ def main(argv=None):
             vrm = build_video_reward_model(weights=weights, **vtiny)
             reward_models["video"] = vrm
             video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm)
+    return reward_fn, video_reward_fn, reward_models
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.multihost:
+        from ..parallel.multihost import initialize
+
+        initialize()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from ..diffusion import DDIMSolver
+    from ..models.unet_vc2 import UNetConfig, UNetModel
+    from ..parallel.mesh import make_mesh
+    from ..training.lcd import LCDConfig
+    from ..training.optim import make_optimizer
+    from ..io.torch_export import vc2_reference_lora_target
+    from ..training.trainer import LCDTrainer, TrainerConfig
+
+    if args.tiny_model:
+        ucfg = UNetConfig(
+            model_channels=32, num_res_blocks=1, attention_resolutions=(2, 1),
+            channel_mult=(1, 2), num_head_channels=16, context_dim=16,
+            temporal_length=4, time_cond_proj_dim=8,
+        )
+        ctx_dim, lat_hw, frames, wdim = 16, (8, 8), 4, 8
+        from ..config import VC2ModelSpec  # noqa: F401  (not needed for tiny)
+        spec = None
+    else:
+        from ..config import load_vc2_config
+
+        spec = load_vc2_config(args.config, time_cond_proj_dim=256)
+        ucfg = spec.unet
+        ctx_dim = ucfg.context_dim
+        lat_hw = (args.height // 8, args.width // 8)
+        frames, wdim = args.n_frames, 256
+
+    student = UNetModel(cfg=ucfg, dtype=jnp.bfloat16 if not args.tiny_model else jnp.float32,
+                        use_remat=args.use_remat)
+    tcfg = UNetConfig(**{**ucfg.__dict__, "time_cond_proj_dim": None})
+    teacher = UNetModel(cfg=tcfg, dtype=student.dtype)
+
+    b = args.batch_size if not args.tiny_model else 4
+    frames_eff = frames
+    x = jnp.zeros((1, frames_eff, *lat_hw, ucfg.in_channels))
+    ctx0 = jnp.zeros((1, 7 if args.tiny_model else 77, ctx_dim))
+    ts0 = jnp.zeros((1,), jnp.int32)
+
+    if args.checkpoint:
+        from ..io.torch_import import (
+            import_unet_params,
+            load_torch_state_dict,
+            split_vc2_checkpoint,
+        )
+
+        sd = load_torch_state_dict(args.checkpoint)
+        unet_sd, _, _ = split_vc2_checkpoint(sd)
+        teacher_params = {"params": import_unet_params(unet_sd, tcfg)}
+        # student = teacher weights + fresh (zero) time_cond_proj
+        sp = dict(import_unet_params(unet_sd, ucfg))
+        sp["time_cond_proj"] = {
+            "kernel": np.zeros((ucfg.time_cond_proj_dim, ucfg.model_channels), np.float32)
+        }
+        student_params = {"params": sp}
+    elif args.random_weights:
+        student_params = student.init(
+            jax.random.PRNGKey(0), x, ts0, ctx0,
+            timestep_cond=jnp.zeros((1, wdim)),
+        )
+        teacher_params = teacher.init(jax.random.PRNGKey(1), x, ts0, ctx0)
+    else:
+        print("error: provide --checkpoint or --random-weights", file=sys.stderr)
+        sys.exit(2)
+
+    from ..diffusion import DiffusionSchedule
+
+    sched = DiffusionSchedule.create()
+    solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod),
+                               ddim_timesteps=args.num_ddim_timesteps)
+    mesh = make_mesh(seq=args.seq_shards)
+
+    reward_fn, video_reward_fn, reward_models = build_reward_stack(args, spec)
 
     trainer = LCDTrainer(
         student_apply=lambda p, z, t, c, fps=None, timestep_cond=None: student.apply(

@@ -1,7 +1,10 @@
 """CLI: v2 full-model latent post-training (train_latent_t2v_turbo_v2 parity).
 
 Consumes the pickles produced by apps/preprocess.py via MP4LatentDataset;
-full-UNet finetune with EMA target net and motion-prior guidance.
+full-UNet finetune with EMA target net, motion-prior guidance, mixed
+image/video reward feedback with the reference's short-caption preference
+and webvid opt-out (train_latent_t2v_turbo_v2.py:1068-1162), and optional
+partial text-encoder unfreeze (last N resblocks, :816-830).
 """
 
 from __future__ import annotations
@@ -52,7 +55,100 @@ def parse_args(argv=None):
                         "axis (ZeRO-3; fits full-model training on 16 GB "
                         "chips — the reference relies on replicated DDP + "
                         "AdamW8bit instead)")
+    # partial text-encoder unfreeze (reference :127-137,816-830)
+    p.add_argument("--train-text-encoder", action="store_true",
+                   help="re-encode captions at train time and train the last "
+                        "N text resblocks + ln_final")
+    p.add_argument("--unlocked-text-layers", type=int, default=4)
+    # reward feedback (reference --reward_fn_name/--video_rm_name etc.,
+    # train_latent_t2v_turbo_v2.py:507-573,1068-1162)
+    p.add_argument("--reward-fn", default="none",
+                   choices=["none", "clip", "hpsv2", "pick", "img_reward"])
+    p.add_argument("--reward-ckpt", default=None,
+                   help="open_clip/HF/ImageReward checkpoint for the image "
+                        "reward tower")
+    p.add_argument("--bert-vocab", default=None,
+                   help="BERT vocab.txt for the img_reward / vi_clip2 text "
+                        "towers (smoke runs fall back to a hash tokenizer)")
+    p.add_argument("--reward-scale", type=float, default=1.0)
+    p.add_argument("--reward-frames", type=int, default=2,
+                   help="frames scored per selected sample (reference "
+                        "--reward_frame_bsz)")
+    p.add_argument("--reward-batch", type=int, default=2,
+                   help="samples per batch carrying the image-reward loss "
+                        "(reference --reward_train_bsz)")
+    p.add_argument("--video-rm-fn", default="none",
+                   choices=["none", "vi_clip", "vi_clip2"])
+    p.add_argument("--video-rm-ckpt", default=None)
+    p.add_argument("--video-reward-scale", type=float, default=1.0)
+    p.add_argument("--video-rm-frames", type=int, default=8,
+                   help="strided frames per scored sample (reference "
+                        "--video_rm_frame_bsz)")
+    p.add_argument("--video-rm-batch", type=int, default=1,
+                   help="samples per batch carrying the video-reward loss "
+                        "(reference --video_rm_train_bsz)")
+    p.add_argument("--webvid-no-reward", action="store_true",
+                   help="skip reward losses on batches with NO short "
+                        "captions (the reference infers this opt-out from "
+                        "'webvid' in the shards path, "
+                        "train_latent_t2v_turbo_v2.py:1086-1090)")
     return p.parse_args(argv)
+
+
+def add_v2_reward_fields(base_iter, args, image_rm, video_rm):
+    """Per-batch host-side reward fields implementing the reference's v2
+    selection semantics as SPMD role-as-data masks
+    (train_latent_t2v_turbo_v2.py:1068-1162):
+
+    - short-caption preference: when any sample carries a short caption,
+      only short-caption samples are eligible for the reward losses and are
+      scored WITH their short captions (:1077-1100);
+    - otherwise random samples with full captions — unless
+      --webvid-no-reward, which skips the loss entirely on such batches
+      (:1086-1090, the reference's "webvid in shards path" opt-out);
+    - the video RM scores with FULL captions (the reference passes `text`,
+      not selected_text, to video_rm_fn at :1157).
+    """
+    from ..training.reward_adapters import sample_frame_indices
+
+    rng = np.random.RandomState(args.seed % (2**31 - 1))
+    for batch in base_iter:
+        txt = batch.get("txt")
+        short = batch.get("short_txt")
+        b = batch["z_t"].shape[0]
+        txt = list(txt) if txt is not None else [""] * b
+        short = list(short) if short is not None else [""] * b
+        frames = batch["z_t"].shape[1]
+        has_short = np.array([s != "" for s in short])
+
+        def choose(n_sel):
+            if has_short.any():
+                cand = np.flatnonzero(has_short)
+                return rng.permutation(cand)[:n_sel]
+            if args.webvid_no_reward:
+                return np.array([], np.int64)
+            return rng.permutation(b)[:n_sel]
+
+        if image_rm is not None:
+            n = min(args.reward_frames, frames)
+            batch["reward_frame_idx"] = sample_frame_indices(rng, b, frames, n)
+            sel_txt = [short[i] if short[i] else txt[i] for i in range(b)]
+            batch["reward_text_feats"] = np.asarray(
+                image_rm.encode_texts(sel_txt)
+            )
+            mask = np.zeros((b,), np.float32)
+            mask[choose(args.reward_batch)] = 1.0
+            batch["reward_mask"] = mask
+        if video_rm is not None:
+            n = min(args.video_rm_frames, frames)
+            batch["video_frame_idx"] = sample_frame_indices(
+                rng, b, frames, n, strided=True
+            )
+            batch["video_text_feats"] = np.asarray(video_rm.encode_texts(txt))
+            mask = np.zeros((b,), np.float32)
+            mask[choose(args.video_rm_batch)] = 1.0
+            batch["video_reward_mask"] = mask
+        yield batch
 
 
 def main(argv=None):
@@ -76,9 +172,10 @@ def main(argv=None):
     from ..models.unet_vc2 import UNetConfig, UNetModel
     from ..parallel.mesh import make_mesh
     from ..training.lcd_v2 import LCDV2Config, lcd_v2_loss
-    from ..training.optim import make_grouped_optimizer
+    from ..training.optim import make_v2_optimizer
     from ..training.trainer import LCDTrainer, TrainerConfig
     from ..data.datasets import MP4LatentDataset
+    from .train_v1 import build_reward_stack
 
     if args.tiny_model:
         ucfg = UNetConfig(
@@ -88,6 +185,7 @@ def main(argv=None):
             motion_cond_proj_dim=8 if args.use_motion_cond else None,
         )
         wdim = 8
+        spec = None
     else:
         from ..config import load_vc2_config
 
@@ -118,7 +216,7 @@ def main(argv=None):
         )
 
         sd = load_torch_state_dict(args.checkpoint)
-        unet_sd, _, _ = split_vc2_checkpoint(sd)
+        unet_sd, _, clip_sd = split_vc2_checkpoint(sd)
         sp = dict(import_unet_params(unet_sd, ucfg))
         if "time_cond_proj" not in sp:
             sp["time_cond_proj"] = {
@@ -128,6 +226,7 @@ def main(argv=None):
             }
         student_params = {"params": sp}
     elif args.random_weights:
+        clip_sd = None
         kw = {}
         if args.use_motion_cond:
             kw["motion_cond"] = jnp.zeros((1, wdim))
@@ -140,6 +239,38 @@ def main(argv=None):
         print("error: provide --checkpoint or --random-weights", file=sys.stderr)
         sys.exit(2)
 
+    # trainable text encoder: re-encode captions each step (reference
+    # train_latent_t2v_turbo_v2.py:989-992), last-N-resblocks unlocked via
+    # the optimizer's frozen-label group (optim.make_v2_optimizer)
+    text_model = text_tok = None
+    text_resblocks = 0
+    if args.train_text_encoder:
+        from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+        from ..utils.tokenizer import CLIPTokenizer
+
+        if args.tiny_model:
+            tcfg = CLIPTextConfig(
+                width=16, heads=4, layers=3,
+                context_length=probe["prompt_emb"].shape[0],
+            )
+        else:
+            tcfg = CLIPTextConfig()
+        text_model = CLIPTextModel(cfg=tcfg)
+        text_tok = CLIPTokenizer(context_length=tcfg.context_length)
+        if clip_sd is not None:
+            from ..io.torch_import import import_clip_text_params
+
+            text_params = {"params": import_clip_text_params(clip_sd)}
+        else:
+            text_params = text_model.init(
+                jax.random.PRNGKey(3),
+                jnp.zeros((1, tcfg.context_length), jnp.int32),
+            )
+        text_resblocks = tcfg.layers - 1 if tcfg.penultimate else tcfg.layers
+        trainable_params = {"unet": student_params, "text": text_params}
+    else:
+        trainable_params = student_params
+
     sched = DiffusionSchedule.create()
     solver = DDIMSolver.create(
         np.asarray(sched.alphas_cumprod), ddim_timesteps=args.num_ddim_timesteps
@@ -150,6 +281,8 @@ def main(argv=None):
         motion_gs=args.motion_gs,
         percentage=args.percentage,
         use_motion_cond=args.use_motion_cond,
+        reward_scale=args.reward_scale,
+        video_reward_scale=args.video_reward_scale,
     )
 
     def apply(p, z, t, c, fps=None, timestep_cond=None, motion_cond=None):
@@ -158,19 +291,44 @@ def main(argv=None):
             motion_cond=motion_cond,
         )
 
+    reward_fn, video_reward_fn, reward_models = build_reward_stack(args, spec)
+
+    def loss_override(trainable, batch, key, ema=None):
+        if args.train_text_encoder:
+            unet_tr = trainable["unet"]
+            ctx = text_model.apply(trainable["text"], batch["tokens"])
+            batch = dict(batch, prompt_emb=ctx)
+            # the EMA target net is UNet-only in the reference (:671-675);
+            # the context always comes from the ONLINE text encoder (:989)
+            target = ema["unet"] if ema is not None else None
+        else:
+            unet_tr = trainable
+            target = ema
+        return lcd_v2_loss(
+            unet_tr, batch, key,
+            student_apply=apply,
+            target_params=target,
+            sched=sched, solver=solver, cfg=v2cfg,
+            reward_fn=reward_fn,
+            video_reward_fn=video_reward_fn,
+        )
+
     # Adapt LCDTrainer to the v2 loss by overriding its loss closure: the
     # trainer drives state/checkpoints; the loss comes from lcd_v2_loss.
     trainer = LCDTrainer(
         student_apply=apply,
         teacher_apply=lambda p, z, t, c, fps=None: jnp.zeros_like(z),  # unused
         teacher_params={},
-        student_params=student_params,
+        student_params=trainable_params,
         sched=sched,
         solver=solver,
         lcd_cfg=None,  # replaced below
-        optimizer=make_grouped_optimizer(
+        optimizer=make_v2_optimizer(
             args.optimizer, args.learning_rate,
             temporal_learning_rate=args.temporal_lr,
+            train_text_encoder=args.train_text_encoder,
+            unlocked_text_layers=args.unlocked_text_layers,
+            text_resblocks=text_resblocks,
         ),
         cfg=TrainerConfig(
             output_dir=args.output_dir,
@@ -185,40 +343,65 @@ def main(argv=None):
             fsdp=args.fsdp,
         ),
         mesh=make_mesh(seq=args.seq_shards),
-        loss_fn_override=lambda trainable, batch, key, ema=None: lcd_v2_loss(
-            trainable, batch, key,
-            student_apply=apply,
-            target_params=ema,
-            sched=sched, solver=solver, cfg=v2cfg,
-        ),
+        loss_fn_override=loss_override,
     )
 
     def data_iter():
-        for batch in ds.batches(args.batch_size):
+        base = ds.batches(args.batch_size)
+        if reward_fn is not None or video_reward_fn is not None:
+            base = add_v2_reward_fields(
+                base, args, reward_models.get("image"),
+                reward_models.get("video"),
+            )
+        for batch in base:
+            txt = batch.pop("txt", None)
             batch.pop("short_txt", None)
+            if args.train_text_encoder:
+                batch["tokens"] = np.asarray(
+                    text_tok(txt if txt is not None
+                             else [""] * batch["z_t"].shape[0])
+                )
             yield batch
 
     metrics = trainer.run(data_iter())
     print(f"final metrics: {metrics}")
     # export the reference's inference-ready torch artifacts: full unet.pt
     # (+ target_unet.pt when the EMA target net is on) — reference
-    # train_latent_t2v_turbo_v2.py:760-773
+    # train_latent_t2v_turbo_v2.py:760-773. The trained text tower (which
+    # the reference leaves buried in accelerate save_state) is exported as
+    # a native npz alongside.
+    trained = trainer.state["trainable"]
+    trained_unet = trained["unet"] if args.train_text_encoder else trained
     try:
         from ..io.torch_export import export_unet_params, save_torch
 
         save_torch(
-            export_unet_params(trainer.state["trainable"], ucfg),
+            export_unet_params(trained_unet, ucfg),
             f"{args.output_dir}/unet.pt",
         )
         print(f"{args.output_dir}/unet.pt")
         if "ema" in trainer.state:
+            ema = trainer.state["ema"]
+            ema_unet = ema["unet"] if args.train_text_encoder else ema
             save_torch(
-                export_unet_params(trainer.state["ema"], ucfg),
+                export_unet_params(ema_unet, ucfg),
                 f"{args.output_dir}/target_unet.pt",
             )
             print(f"{args.output_dir}/target_unet.pt")
     except ImportError:
         print("torch unavailable: skipped unet.pt export")
+    if args.train_text_encoder:
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(trained["text"])[0]
+        np.savez(
+            f"{args.output_dir}/text_encoder.npz",
+            **{
+                "/".join(str(getattr(k, "key", k)) for k in path): np.asarray(v)
+                for path, v in flat
+            },
+        )
+        print(f"{args.output_dir}/text_encoder.npz")
 
 
 if __name__ == "__main__":

@@ -141,7 +141,12 @@ class MP4LatentDataset:
                     assert k in d, f"missing {k}"
                 d.setdefault("score", np.zeros_like(d["z_t"]))
                 d.setdefault("use_motion_guide", True)
-                d.setdefault("short_txt", d.get("txt", ""))
+                d.setdefault("txt", "")
+                # "" means NO short caption (the reference's short-caption
+                # preference keys on short_txt != "",
+                # train_latent_t2v_turbo_v2.py:1077-1081) — do not alias the
+                # full caption into it
+                d.setdefault("short_txt", "")
                 return d
             except Exception:
                 continue
@@ -164,6 +169,7 @@ class MP4LatentDataset:
                 out["use_motion_guide"] = np.asarray(
                     [bool(it["use_motion_guide"]) for it in items]
                 )
+                out["txt"] = [it["txt"] for it in items]
                 out["short_txt"] = [it["short_txt"] for it in items]
                 yield out
             if not loop:

@@ -192,6 +192,69 @@ def is_temporal_param(path_segments) -> bool:
     return False
 
 
+def make_v2_optimizer(
+    name: str = "adamw",
+    learning_rate: float = 1e-5,
+    temporal_learning_rate: Optional[float] = None,
+    train_text_encoder: bool = False,
+    unlocked_text_layers: int = 4,
+    text_resblocks: int = 23,
+    **kw,
+) -> optax.GradientTransformation:
+    """v2 trainable groups over the combined {"unet", "text"} tree:
+
+    - temporal UNet modules (init_attn + TemporalTransformers) at their own
+      LR (reference train_latent_t2v_turbo_v2.py:799-814,832-845),
+    - when train_text_encoder, only the LAST `unlocked_text_layers`
+      resblocks + ln_final of the text tower train; token/positional
+      embeddings and earlier resblocks are frozen (reference :816-830 locks
+      them via requires_grad; here a set_to_zero() transform on the
+      "frozen" label is the optax equivalent),
+    - everything else at the base LR.
+
+    `text_resblocks` is the number of blocks the JAX tower RUNS (23 for the
+    penultimate-layer ViT-H tower — the reference's final block is dead at
+    inference and not materialized here, see models/clip_text.py).
+    """
+    import re
+
+    import jax
+
+    def label_one(path) -> str:
+        segs = [str(getattr(p, "key", p)) for p in path]
+        if "text" in segs[:2]:
+            if not train_text_encoder:
+                return "frozen"
+            for s in segs:
+                if s == "ln_final":
+                    return "base"
+                m = re.fullmatch(r"resblocks_(\d+)", s)
+                if m:
+                    unlocked = int(m.group(1)) >= text_resblocks - unlocked_text_layers
+                    return "base" if unlocked else "frozen"
+            return "frozen"  # token/positional embeddings stay locked
+        return "temporal" if is_temporal_param(path) else "base"
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: label_one(path), params
+        )
+
+    t_lr = (
+        temporal_learning_rate
+        if temporal_learning_rate is not None
+        else learning_rate
+    )
+    return optax.multi_transform(
+        {
+            "base": make_optimizer(name, learning_rate, **kw),
+            "temporal": make_optimizer(name, t_lr, **kw),
+            "frozen": optax.set_to_zero(),
+        },
+        label_fn,
+    )
+
+
 def make_grouped_optimizer(
     name: str = "adamw",
     learning_rate: float = 1e-5,

@@ -46,6 +46,8 @@ def preprocess_sample(
     solver: DDIMSolver,
     cfg: PreprocessConfig,
     fps=None,
+    txt: str = "",
+    short_txt: str = "",
 ) -> dict:
     """One sample -> the v2 training dict (reference
     preprocess_with_motion_prior.py:330-408)."""
@@ -91,6 +93,11 @@ def preprocess_sample(
         "score": np.asarray(score)[0],
         "prompt_emb": np.asarray(prompt_emb)[0],
         "use_motion_guide": bool(use_motion),
+        # raw captions ride along for the v2 reward losses and the
+        # trainable-text-encoder path (reference mp4_dataset.py:127-129
+        # aliases them; short_txt == "" means no short caption)
+        "txt": txt,
+        "short_txt": short_txt,
     }
     if z_example is not None:
         out["z_example"] = np.asarray(z_example)[0]

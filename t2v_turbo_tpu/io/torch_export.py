@@ -45,6 +45,16 @@ def _x_lin(node, name, sd):
         sd[f"{name}.bias"] = _np(node["bias"])
 
 
+def _x_geglu_lin(node, name, sd):
+    """(C, 2, F) _GEGLUProj kernel -> the reference's (2F, C) Linear
+    (inverse of torch_import._geglu_lin)."""
+    k = _np(node["kernel"])
+    flat = {"kernel": k.reshape(k.shape[0], -1)}
+    if "bias" in node:
+        flat["bias"] = _np(node["bias"]).reshape(-1)
+    _x_lin(flat, name, sd)
+
+
 def _x_conv2d(node, name, sd):
     sd[f"{name}.weight"] = _np(node["kernel"]).transpose(3, 2, 0, 1)
     if "bias" in node:
@@ -87,7 +97,7 @@ def _x_btb(node, p, sd):
     _x_attn(node["attn2"], f"{p}.attn2", sd)
     for n in ("norm1", "norm2", "norm3"):
         _x_norm(node[n], f"{p}.{n}", sd)
-    _x_lin(node["ff"]["proj"], f"{p}.ff.net.0.proj", sd)
+    _x_geglu_lin(node["ff"]["proj"], f"{p}.ff.net.0.proj", sd)
     _x_lin(node["ff"]["out"], f"{p}.ff.net.2", sd)
 
 
@@ -334,6 +344,10 @@ def export_lora_pt(
             r = rank or next(iter(factors.values()))["down"].shape[1]
             i = int(np.prod(shape[:-1]))
             o = int(shape[-1])
+            if kind == "linear" and len(shape) == 3:
+                # GEGLU proj kernel stored (C, 2, F); the underlying
+                # reference Linear is (2F, C)
+                i, o = int(shape[0]), int(shape[1] * shape[2])
             zero = {
                 "down": np.zeros((i, r), np.float32),
                 "up": np.zeros((r, o), np.float32),

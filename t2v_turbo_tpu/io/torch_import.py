@@ -65,6 +65,19 @@ def _lin(sd, prefix, bias=True):
     return out
 
 
+def _geglu_lin(sd, prefix):
+    """GEGLU proj Linear (2F, C) -> the (C, 2, F) kernel layout of
+    models.layers._GEGLUProj (value rows 0..F-1 first, matching torch
+    chunk(2, dim=-1)); pure reshape, value-identical."""
+    d = _lin(sd, prefix)
+    k = d["kernel"]  # (C, 2F)
+    c, o2 = k.shape
+    out = {"kernel": np.ascontiguousarray(k.reshape(c, 2, o2 // 2))}
+    if "bias" in d:
+        out["bias"] = np.ascontiguousarray(d["bias"].reshape(2, o2 // 2))
+    return out
+
+
 def _conv2d(sd, prefix):
     w = sd[f"{prefix}.weight"]  # (O, I, H, W)
     out = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
@@ -122,7 +135,7 @@ def _btb(sd, p):
         "norm2": _norm(sd, f"{p}.norm2"),
         "norm3": _norm(sd, f"{p}.norm3"),
         "ff": {
-            "proj": _lin(sd, f"{p}.ff.net.0.proj"),
+            "proj": _geglu_lin(sd, f"{p}.ff.net.0.proj"),
             "out": _lin(sd, f"{p}.ff.net.2"),
         },
     }

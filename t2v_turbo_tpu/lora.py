@@ -68,8 +68,17 @@ def init_lora(params, cfg: LoRAConfig, key: jax.Array):
         pt = _path_tuple(path)
         if not cfg.matches(pt, leaf):
             continue
-        *lead, out_f = leaf.shape
-        in_f = int(np.prod(lead))
+        if leaf.ndim == 3 and pt[-3:] == ("ff", "proj", "kernel"):
+            # GEGLU proj kernel stored (C, 2, F) for TP (models/layers.py
+            # _GEGLUProj); the reference LoRA factorizes the underlying
+            # (2F, C) Linear, so keep in=C, out=2F — the factors then
+            # export/import 1:1 against its unet_lora.pt layout, and
+            # merge_lora's delta.reshape restores (C, 2, F) row-major
+            # exactly like the weight importer's reshape.
+            in_f, out_f = leaf.shape[0], leaf.shape[1] * leaf.shape[2]
+        else:
+            *lead, out_f = leaf.shape
+            in_f = int(np.prod(lead))
         down = jax.random.normal(k, (in_f, cfg.rank), jnp.float32) / cfg.rank
         up = jnp.zeros((cfg.rank, out_f), jnp.float32)
         lora_flat[pt] = {"down": down, "up": up}

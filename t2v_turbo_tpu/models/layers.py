@@ -199,6 +199,36 @@ class CrossAttention(nn.Module):
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
+class _GEGLUProj(nn.Module):
+    """The GEGLU input projection with its kernel stored (C, 2, F): value
+    and gate live on their own axis instead of concatenated along one 2F
+    column dim. Numerically identical (one einsum on the MXU), but tensor
+    parallelism can now column-split F with a plain PartitionSpec
+    P(None, None, "model") — with the (C, 2F) layout the jnp.split at F
+    lands mid-shard and GSPMD reshards the whole activation
+    (parallel/tp.py). Importers reshape the reference's (2F, C) Linear
+    weight into this layout (io/torch_import.py _geglu_lin)."""
+
+    features: int  # F
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal", in_axis=0, out_axis=(1, 2)
+            ),
+            (c, 2, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (2, self.features))
+        y = jnp.einsum(
+            "...c,cgf->...gf", x.astype(self.dtype), kernel.astype(self.dtype)
+        )
+        return y + bias.astype(self.dtype)
+
+
 class GEGLUFeedForward(nn.Module):
     """GEGLU MLP (reference lvdm/modules/attention.py:516-542)."""
 
@@ -209,9 +239,9 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * gelu_exact(gate)
+        h = _GEGLUProj(inner, dtype=self.dtype, name="proj")(x)
+        # torch chunk(2, dim=-1): first half is the value, second the gate
+        h = h[..., 0, :] * gelu_exact(h[..., 1, :])
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
 
 

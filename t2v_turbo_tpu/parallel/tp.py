@@ -11,9 +11,13 @@ all-reduces. Megatron-style column/row split:
   sharding on H),
 - to_out kernel (in, out): split the INPUT dim -> partial products are
   psum'ed by XLA right where DDP's gradient sync already runs,
-- everything else (convs, norms, embeddings, FF) replicated; the GEGLU FF
-  is excluded because its jnp.split at the inner boundary would force a
-  reshard mid-block.
+- GEGLU FF: the proj kernel is stored (C, 2, F) with value/gate on their
+  own axis (models/layers.py _GEGLUProj) precisely so F column-splits
+  cleanly — P(None, None, "model") on proj, row-parallel P("model", None)
+  on the out kernel (Megatron MLP): one psum per FF, no mid-block
+  reshard. These are the widest matmuls in every transformer block, so
+  this is where most of the TP FLOP coverage comes from,
+- everything else (convs, norms, embeddings) replicated.
 
 Head counts must divide the model-axis size; `tp_param_shardings` checks
 this per leaf and leaves non-conforming kernels replicated rather than
@@ -45,7 +49,12 @@ def _path_str(path) -> str:
 
 def tp_spec_for(path_str: str, leaf) -> P:
     """PartitionSpec for one UNet param leaf under model-axis TP."""
-    if getattr(leaf, "ndim", 0) != 2 or not path_str.endswith("kernel"):
+    if not path_str.endswith("kernel"):
+        return P()
+    nd = getattr(leaf, "ndim", 0)
+    if nd == 3 and "/ff/proj/" in path_str:
+        return P(None, None, "model")  # GEGLU column parallel (F split)
+    if nd != 2:
         return P()
     if any(
         f"/{n}/" in path_str
@@ -54,6 +63,8 @@ def tp_spec_for(path_str: str, leaf) -> P:
         return P(None, "model")  # column parallel (per-head split)
     if "/to_out/" in path_str:
         return P("model", None)  # row parallel (psum on output)
+    if "/ff/out/" in path_str:
+        return P("model", None)  # GEGLU out: row parallel (psum)
     return P()
 
 
@@ -69,15 +80,22 @@ def tp_param_shardings(
     model_n = mesh.shape.get("model", 1)
 
     def to_sharding(path, leaf):
-        spec = tp_spec_for(_path_str(path), leaf)
+        ps = _path_str(path)
+        spec = tp_spec_for(ps, leaf)
+        is_attn = any(
+            f"/{n}/" in ps
+            for n in ("to_q", "to_k", "to_v", "to_k_ip", "to_v_ip", "to_out")
+        )
         for dim, axis in enumerate(spec):
             if axis != "model":
                 continue
             size = leaf.shape[dim]
             ok = size % model_n == 0
-            if ok and head_dim is not None:
+            if ok and head_dim is not None and is_attn:
                 # q/k/v split the head (output) dim; to_out's input dim is
-                # the same H*D concatenation — both must split per-head
+                # the same H*D concatenation — both must split per-head.
+                # FF kernels have no head structure: raw divisibility
+                # suffices there.
                 ok = size % head_dim == 0 and (size // head_dim) % model_n == 0
             if not ok:
                 spec = P()

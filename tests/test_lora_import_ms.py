@@ -69,7 +69,10 @@ def _get(tree, path):
 def _synth_pair(rng, kernel, kind, r=4):
     """Random torch-layout (up, down) for a module with this flax kernel."""
     if kind == "linear":
-        i, o = kernel.shape
+        if kernel.ndim == 3:  # GEGLU proj stored (C, 2, F): Linear is (2F, C)
+            i, o = kernel.shape[0], kernel.shape[1] * kernel.shape[2]
+        else:
+            i, o = kernel.shape
         return rng.randn(o, r).astype(np.float32), rng.randn(r, i).astype(np.float32)
     if kind == "conv2d":
         kh, kw, i, o = kernel.shape
@@ -105,7 +108,10 @@ class TestMSLoraOrder:
         for name, kind in lora_module_order_ms(tiny_cfg()):
             k = kernels[_translate_ms(name)]
             if kind == "linear":
-                assert k.ndim == 2, name
+                # the GEGLU proj Linear is stored (C, 2, F) for TP
+                # (models/layers.py _GEGLUProj); all other linears are 2D
+                want = 3 if name.endswith("ff.net.0.proj") else 2
+                assert k.ndim == want, name
             else:
                 assert k.ndim == 4, name
             if kind == "conv3d":

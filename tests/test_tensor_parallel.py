@@ -81,6 +81,20 @@ class TestTensorParallel:
                 if shard.data.shape[1] == leaf.shape[1] // 2:
                     found = True
         assert found, "no to_q kernel was actually split over the model axis"
+        # the GEGLU FF proj (C, 2, F) must split F (Megatron MLP column
+        # parallel) and the ff out kernel must split its input dim (row
+        # parallel) — the widest matmuls in the block
+        ff_proj = ff_out = False
+        for path, leaf in flat:
+            ps = "/".join(str(getattr(p, "key", p)) for p in path)
+            if "/ff/proj/" in ps and ps.endswith("kernel"):
+                shard = leaf.addressable_shards[0]
+                ff_proj |= shard.data.shape[2] == leaf.shape[2] // 2
+            if "/ff/out/" in ps and ps.endswith("kernel"):
+                shard = leaf.addressable_shards[0]
+                ff_out |= shard.data.shape[0] == leaf.shape[0] // 2
+        assert ff_proj, "no GEGLU proj kernel split over the model axis"
+        assert ff_out, "no GEGLU out kernel split over the model axis"
 
 
 class TestHeadBoundaryGuard:
@@ -99,11 +113,12 @@ class TestHeadBoundaryGuard:
         )
         assert n_split_div > 0
         # pretend heads are 3x wider: 32/48 -> not integral or odd -> all
-        # attention kernels must fall back to replication
+        # ATTENTION kernels must fall back to replication; the GEGLU FF
+        # kernels have no head structure and legitimately stay split
         odd = tp_param_shardings(mesh, params, head_dim=48)
-        n_split_odd = sum(
-            1 for s in jax.tree.leaves(
-                jax.tree.map(lambda x: x.spec != (), odd)
-            ) if s
-        )
-        assert n_split_odd == 0
+        flat = jax.tree_util.tree_flatten_with_path(odd)[0]
+        for path, sh in flat:
+            ps = "/".join(str(getattr(p, "key", p)) for p in path)
+            if sh.spec == ():
+                continue
+            assert "/ff/" in ps, f"attention kernel still split: {ps}"

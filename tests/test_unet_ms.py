@@ -131,7 +131,15 @@ def synthesize_diffusers_sd(params, layers_per_block=1, n_levels=2):
             dense(f"{dst}.{a}.to_out.0", node[a]["to_out"])
         for nn_ in ("norm1", "norm2", "norm3"):
             norm(f"{dst}.{nn_}", node[nn_])
-        dense(f"{dst}.ff.net.0.proj", node["ff"]["proj"])
+        # GEGLU proj kernel stored (C, 2, F); the diffusers Linear is (2F, C)
+        pk = np.asarray(node["ff"]["proj"]["kernel"])
+        dense(
+            f"{dst}.ff.net.0.proj",
+            {
+                "kernel": pk.reshape(pk.shape[0], -1),
+                "bias": np.asarray(node["ff"]["proj"]["bias"]).reshape(-1),
+            },
+        )
         dense(f"{dst}.ff.net.2", node["ff"]["out"])
 
     def transformer(dst, node, linear_proj):

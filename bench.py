@@ -27,11 +27,64 @@ import jax.numpy as jnp
 A100_BASELINE_VIDEOS_PER_MIN = 12.0
 
 
-def train_bench():
-    """Optional `python bench.py --train`: full-size v1 LCD training-step
-    throughput (LoRA r=64 student + frozen teacher, bs=1, 16x40x64 latents,
-    bf16 + remat — the reference's per-rank recipe,
-    train_t2v_turbo_v1.sh). Prints one JSON line with samples/sec."""
+def kernel_parity_gate() -> bool:
+    """Cheap Pallas-kernel parity asserts before timing (the tests_tpu
+    cases, folded in here so the driver-run bench catches kernel
+    regressions every round). TPU-only: the flash kernels target the real
+    MXU; on CPU the XLA fallback path is what tests/ already gate."""
+    if jax.devices()[0].platform != "tpu":
+        return True
+    from t2v_turbo_tpu.ops import attention_xla, flash_attention
+
+    cases = [
+        # (b, h, sq, sk, d, dtype, atol) — spatial 320x512 self-attn,
+        # bf16 variant, cross-attn 77 tokens, VAE bottleneck single-head
+        (16, 5, 2560, 2560, 64, jnp.float32, 2e-3),
+        (16, 5, 2560, 2560, 64, jnp.bfloat16, 5e-2),
+        (16, 5, 2560, 77, 64, jnp.bfloat16, 5e-2),
+        (4, 1, 2560, 2560, 512, jnp.bfloat16, 5e-2),
+    ]
+    ok = True
+    for b, h, sq, sk, d, dtype, atol in cases:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (b, h, sq, d), dtype)
+        k = jax.random.normal(ks[1], (b, h, sk, d), dtype)
+        v = jax.random.normal(ks[2], (b, h, sk, d), dtype)
+        out = flash_attention(q, k, v)
+        ref = attention_xla(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        case_ok = err < atol
+        ok &= case_ok
+        print(
+            f"# kernel parity {dtype.__name__} ({b},{h},{sq},{sk},{d}): "
+            f"max|d|={err:.2e} {'OK' if case_ok else 'FAIL'}",
+            file=sys.stderr,
+        )
+    if not ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "kernel_parity",
+                    "value": 0,
+                    "unit": "bool",
+                    "vs_baseline": 0,
+                }
+            )
+        )
+        sys.exit(1)
+    return ok
+
+
+def train_bench(rewards: bool = False):
+    """Optional `python bench.py --train [--rewards]`: full-size v1 LCD
+    training-step throughput (LoRA r=64 student + frozen teacher, bs=1,
+    16x40x64 latents, bf16 + remat — the reference's per-rank recipe,
+    train_t2v_turbo_v1.sh). --rewards adds the ViT-H image RM and ViCLIP-L
+    video RM inside the loss (VAE-decoded frames, backprop through the
+    towers, decode_chunk=16 — reference train_t2v_turbo_v1_lora.py:
+    1043-1098). Prints one JSON line with samples/sec."""
     import optax
 
     from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
@@ -41,6 +94,7 @@ def train_bench():
     from t2v_turbo_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    kernel_parity_gate()
     dtype = jnp.bfloat16
     cfg = UNetConfig(time_cond_proj_dim=256)
     # BENCH_REMAT=0 measures the no-remat student: OOMs at full size
@@ -77,6 +131,15 @@ def train_bench():
     jax.block_until_ready((sp, tp))
     print(f"# init: {time.time()-t0:.0f}s", file=sys.stderr)
 
+    reward_fn = video_reward_fn = None
+    img_dim = vid_dim = 8
+    vid_frames = 4
+    if rewards:
+        rvae, rvae_params = _full_size_vae()
+        reward_fn, video_reward_fn, img_dim, vid_dim, vid_frames = (
+            _full_size_reward_fns(rvae, rvae_params)
+        )
+
     sched = DiffusionSchedule.create()
     solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
     trainer = LCDTrainer(
@@ -90,19 +153,34 @@ def train_bench():
         student_params=sp,
         sched=sched,
         solver=solver,
-        lcd_cfg=LCDConfig(),
+        lcd_cfg=LCDConfig(reward_scale=1.0, video_reward_scale=1.0),
+        reward_fn=reward_fn,
+        video_reward_fn=video_reward_fn,
         optimizer=optax.adamw(1e-5),
         cfg=TrainerConfig(output_dir="/tmp/bench_train", lora_rank=64),
     )
     rng = np.random.RandomState(0)
-    batch = trainer.shard_batch(
-        {
-            "latents": rng.randn(b, t, lh, lw, 4).astype(np.float32),
-            "ctx": rng.randn(b, 77, 1024).astype(np.float32),
-            "uncond_ctx": np.zeros((b, 77, 1024), np.float32),
-            "fps": np.full((b,), 16.0, np.float32),
-        }
-    )
+    host_batch = {
+        "latents": rng.randn(b, t, lh, lw, 4).astype(np.float32),
+        "ctx": rng.randn(b, 77, 1024).astype(np.float32),
+        "uncond_ctx": np.zeros((b, 77, 1024), np.float32),
+        "fps": np.full((b,), 16.0, np.float32),
+    }
+    if rewards:
+        # reference per-rank recipe: 5 random frames -> image RM, 8 strided
+        # frames -> video RM (train_t2v_turbo_v1_lora.py:1049,1071-1076)
+        host_batch["reward_frame_idx"] = np.stack(
+            [rng.permutation(t)[:5] for _ in range(b)]
+        ).astype(np.int32)
+        host_batch["reward_text_feats"] = rng.randn(b, img_dim).astype(np.float32)
+        host_batch["reward_mask"] = np.ones((b,), np.float32)
+        skip = t // vid_frames
+        host_batch["video_frame_idx"] = np.stack(
+            [np.arange(0, t, skip)[:vid_frames] for _ in range(b)]
+        ).astype(np.int32)
+        host_batch["video_text_feats"] = rng.randn(b, vid_dim).astype(np.float32)
+        host_batch["video_reward_mask"] = np.ones((b,), np.float32)
+    batch = trainer.shard_batch(host_batch)
     key = jax.random.PRNGKey(2)
     t0 = time.time()
     trainer.state, m = trainer._step_jit(trainer.state, batch, key)
@@ -118,11 +196,290 @@ def train_bench():
     print(
         json.dumps(
             {
-                "metric": "lcd_v1_train_samples_per_sec_bs1_16f_320x512",
+                "metric": "lcd_v1_train_samples_per_sec_bs1_16f_320x512"
+                + ("_rewards_on" if rewards else ""),
                 "value": round(b / step_s, 3),
                 "unit": "samples/sec",
                 "step_ms": round(step_s * 1e3, 1),
                 "lora_rank": 64,
+                "rewards": rewards,
+            }
+        )
+    )
+
+
+def _full_size_reward_fns(rvae, rvae_params, decode_chunk=16):
+    """Full-size reward towers with random bf16 weights (identical compute
+    to trained ones): ViT-H/14 image RM + ViCLIP-L video RM — the v1
+    reference recipe's towers (train_t2v_turbo_v1_lora.py:506-547). Text
+    features are precomputed per batch in real training, so the benches
+    feed random (B, D) features and skip the text towers entirely."""
+    from t2v_turbo_tpu.rewards.reward_fn import ImageRewardModel, VideoRewardModel
+    from t2v_turbo_tpu.rewards.vit import (
+        VIT_H_14,
+        VideoViTConfig,
+        VideoVisionTransformer,
+        VisionTransformer,
+    )
+    from t2v_turbo_tpu.training.reward_adapters import (
+        make_image_reward_fn,
+        make_video_reward_fn,
+    )
+
+    to_bf16 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
+    )
+    vit = VisionTransformer(cfg=VIT_H_14, dtype=jnp.bfloat16)
+    vvit_cfg = VideoViTConfig()
+    vvit = VideoVisionTransformer(cfg=vvit_cfg, dtype=jnp.bfloat16)
+    vp = jax.jit(lambda k: to_bf16(vit.init(k, jnp.zeros((1, 224, 224, 3)))))(
+        jax.random.PRNGKey(11)
+    )
+    vvp = jax.jit(
+        lambda k: to_bf16(
+            vvit.init(k, jnp.zeros((1, vvit_cfg.num_frames, 224, 224, 3)))
+        )
+    )(jax.random.PRNGKey(12))
+    irm = ImageRewardModel(vit, vp, None, None, None)
+    vrm = VideoRewardModel(vvit, vvp, None, None, None)
+    img_fn = make_image_reward_fn(rvae, rvae_params, irm, decode_chunk=decode_chunk)
+    vid_fn = make_video_reward_fn(rvae, rvae_params, vrm, decode_chunk=decode_chunk)
+    return img_fn, vid_fn, VIT_H_14.output_dim, vvit_cfg.output_dim, vvit_cfg.num_frames
+
+
+def _full_size_vae():
+    from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    vae = AutoencoderKL(cfg=VAEConfig(), dtype=jnp.bfloat16)
+    to_bf16 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
+    )
+    vae_params = jax.jit(
+        lambda k: to_bf16(vae.init(k, jnp.zeros((1, 64, 64, 3))))
+    )(jax.random.PRNGKey(10))
+    return vae, vae_params
+
+
+def train_v2_bench():
+    """`python bench.py --train-v2`: full-size v2 full-model training step
+    (the reference's production recipe, train_t2v_turbo_v2.sh: bs=3,
+    16x40x64 latents, full f32 UNet trainable, blockwise-int8 AdamW,
+    stored-teacher CFG — no live teacher). Env toggles:
+      BENCH_EMA=1      add the f32 EMA target net (ref --use_target_unet)
+      BENCH_REWARDS=0  drop the reward towers (recipe default is ON:
+                       reward_scale 0.2 / video 0.5)
+      BENCH_FSDP=1     FSDP state sharding (single chip -> no-op)
+    """
+    from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
+    from t2v_turbo_tpu.models import UNetConfig, UNetModel
+    from t2v_turbo_tpu.training.lcd_v2 import LCDV2Config, lcd_v2_loss
+    from t2v_turbo_tpu.training.optim import make_v2_optimizer
+    from t2v_turbo_tpu.training.trainer import LCDTrainer, TrainerConfig
+    from t2v_turbo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    kernel_parity_gate()
+    use_ema = os.environ.get("BENCH_EMA", "0") == "1"
+    use_rewards = os.environ.get("BENCH_REWARDS", "1") == "1"
+    use_fsdp = os.environ.get("BENCH_FSDP", "0") == "1"
+
+    cfg = UNetConfig(time_cond_proj_dim=256, motion_cond_proj_dim=256)
+    student = UNetModel(cfg=cfg, dtype=jnp.bfloat16, use_remat=True)
+    b, t, lh, lw = 3, 16, 40, 64
+    x = jnp.zeros((b, t, lh, lw, 4))
+    ts0 = jnp.zeros((b,), jnp.int32)
+    ctx0 = jnp.zeros((b, 77, 1024))
+
+    t0 = time.time()
+    sp = jax.jit(
+        lambda k: student.init(
+            k, x, ts0, ctx0, fps=jnp.full((b,), 8.0),
+            timestep_cond=jnp.zeros((b, 256)),
+            motion_cond=jnp.zeros((b, 256)),
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(sp)
+    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(sp))
+    print(
+        f"# init: {time.time()-t0:.0f}s  unet_params={n_params/1e9:.2f}B (f32 trainable)",
+        file=sys.stderr,
+    )
+
+    reward_fn = video_reward_fn = None
+    img_dim = vid_dim = 8
+    vid_frames = 4
+    if use_rewards:
+        rvae, rvae_params = _full_size_vae()
+        reward_fn, video_reward_fn, img_dim, vid_dim, vid_frames = (
+            _full_size_reward_fns(rvae, rvae_params)
+        )
+
+    sched = DiffusionSchedule.create()
+    solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+    v2cfg = LCDV2Config(
+        w_embedding_dim=256,
+        use_motion_cond=True,
+        reward_scale=0.2,
+        video_reward_scale=0.5,
+    )
+
+    def apply(p, z, tt, c, fps=None, timestep_cond=None, motion_cond=None):
+        return student.apply(
+            p, z, tt, c, fps=fps, timestep_cond=timestep_cond,
+            motion_cond=motion_cond,
+        )
+
+    trainer = LCDTrainer(
+        student_apply=apply,
+        teacher_apply=lambda p, z, tt, c, fps=None: jnp.zeros_like(z),
+        teacher_params={},
+        student_params=sp,
+        sched=sched,
+        solver=solver,
+        lcd_cfg=None,
+        optimizer=make_v2_optimizer("adamw8bit", 1e-5,
+                                    temporal_learning_rate=1e-5),
+        cfg=TrainerConfig(
+            output_dir="/tmp/bench_train_v2",
+            lora_rank=None,
+            ema_decay=0.95 if use_ema else None,
+            fsdp=use_fsdp,
+        ),
+        loss_fn_override=lambda trainable, batch, key, ema=None: lcd_v2_loss(
+            trainable, batch, key, student_apply=apply, target_params=ema,
+            sched=sched, solver=solver, cfg=v2cfg,
+            reward_fn=reward_fn, video_reward_fn=video_reward_fn,
+        ),
+    )
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "index": rng.randint(25, 50, (b,)).astype(np.int32),
+        "z_t": rng.randn(b, t, lh, lw, 4).astype(np.float32),
+        "cond_teacher_out": rng.randn(b, t, lh, lw, 4).astype(np.float32),
+        "uncond_teacher_out": rng.randn(b, t, lh, lw, 4).astype(np.float32),
+        "score": rng.randn(b, t, lh, lw, 4).astype(np.float32) * 0.01,
+        "prompt_emb": rng.randn(b, 77, 1024).astype(np.float32),
+        "use_motion_guide": np.ones((b,), bool),
+        "fps": np.full((b,), 8.0, np.float32),
+    }
+    if use_rewards:
+        batch["reward_frame_idx"] = np.stack(
+            [rng.permutation(t)[:2] for _ in range(b)]
+        ).astype(np.int32)
+        batch["reward_text_feats"] = rng.randn(b, img_dim).astype(np.float32)
+        batch["reward_mask"] = np.array([1.0] + [0.0] * (b - 1), np.float32)
+        skip = t // vid_frames
+        batch["video_frame_idx"] = np.stack(
+            [np.arange(0, t, skip)[:vid_frames] for _ in range(b)]
+        ).astype(np.int32)
+        batch["video_text_feats"] = rng.randn(b, vid_dim).astype(np.float32)
+        batch["video_reward_mask"] = np.array(
+            [0.0] * (b - 1) + [1.0], np.float32
+        )
+    batch = trainer.shard_batch(batch)
+
+    key = jax.random.PRNGKey(2)
+    t0 = time.time()
+    trainer.state, m = trainer._step_jit(trainer.state, batch, key)
+    _ = float(m["loss"])
+    print(f"# compile+first step: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    n = 8
+    t0 = time.time()
+    for _ in range(n):
+        trainer.state, m = trainer._step_jit(trainer.state, batch, key)
+    _ = float(m["loss"])
+    step_s = (time.time() - t0) / n
+    print(
+        json.dumps(
+            {
+                "metric": "lcd_v2_train_samples_per_sec_bs3_16f_320x512"
+                + ("_rewards_on" if use_rewards else ""),
+                "value": round(b / step_s, 3),
+                "unit": "samples/sec",
+                "step_ms": round(step_s * 1e3, 1),
+                "ema_target": use_ema,
+                "rewards": use_rewards,
+                "optimizer": "adamw8bit",
+                "unet_params_b": round(n_params / 1e9, 3),
+            }
+        )
+    )
+
+
+def profile_bench():
+    """`python bench.py --profile`: trace the 4-step sampling loop and print
+    the top device ops by time (the per-op evidence for PERF_NOTES'
+    'practical floor' claim)."""
+    import tempfile
+
+    from t2v_turbo_tpu.utils.profiling import top_ops_from_trace
+
+    # reuse main()'s setup by inlining the sampling-loop portion
+    from t2v_turbo_tpu.diffusion import DiffusionSchedule
+    from t2v_turbo_tpu.models import UNetConfig, UNetModel
+    from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig
+    from t2v_turbo_tpu.pipelines.vc2 import T2VTurboVC2Pipeline
+    from t2v_turbo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    dtype = jnp.bfloat16
+    cfg = UNetConfig(time_cond_proj_dim=256)
+    unet = UNetModel(cfg=cfg, dtype=dtype)
+    b, t, h, w = 1, 16, 320, 512
+    lh, lw = h // 8, w // 8
+    x = jnp.zeros((b, t, lh, lw, 4), dtype)
+    ts = jnp.zeros((b,), jnp.int32)
+    ctx = jnp.zeros((b, 77, 1024), dtype)
+    unet_params = jax.jit(
+        lambda k: unet.init(
+            k, x, ts, ctx, fps=jnp.full((b,), 16.0),
+            timestep_cond=jnp.zeros((b, 256), dtype),
+        )
+    )(jax.random.PRNGKey(0))
+    vae = AutoencoderKL(cfg=VAEConfig(), dtype=dtype)
+    vae_params = jax.jit(lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), dtype)))(
+        jax.random.PRNGKey(1)
+    )
+    pipe = T2VTurboVC2Pipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        text_model=None, text_params=None, tokenizer=None,
+        schedule=DiffusionSchedule.create(), dtype=dtype,
+    )
+    sample = pipe._sample_fn(4, 50, False, 0.3)
+    prompt_embeds = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 1024), dtype)
+    w_emb = jnp.zeros((b, 256), dtype)
+    lat = jax.random.normal(jax.random.PRNGKey(3), (b, t, lh, lw, 4), dtype)
+    fps_arr = jnp.full((b,), 16.0)
+
+    def run(seed):
+        r = sample(
+            unet_params, lat, prompt_embeds, w_emb, fps_arr,
+            jnp.float32(0.0), jax.random.PRNGKey(seed),
+        )
+        _ = np.asarray(r[0, 0, 0, 0])
+
+    run(0)  # compile
+    log_dir = tempfile.mkdtemp(prefix="t2v_bench_trace_")
+    jax.profiler.start_trace(log_dir)
+    for i in range(2):
+        run(i + 1)
+    jax.profiler.stop_trace()
+    top = top_ops_from_trace(log_dir, k=15)
+    print("# top device ops over 2x 4-step sampling loops:", file=sys.stderr)
+    for name, ms, pct in top:
+        print(f"#   {pct:5.1f}%  {ms:8.2f} ms  {name}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "profile_top_op_pct",
+                "value": round(top[0][2], 1) if top else 0,
+                "unit": "%",
+                "top_ops": [
+                    {"name": n, "ms": round(ms, 2), "pct": round(p, 1)}
+                    for n, ms, p in top
+                ],
             }
         )
     )
@@ -132,6 +489,7 @@ def main():
     from t2v_turbo_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    kernel_parity_gate()
     from t2v_turbo_tpu.diffusion import DiffusionSchedule
     from t2v_turbo_tpu.models import UNetConfig, UNetModel
     from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig
@@ -235,7 +593,11 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--train" in sys.argv:
-        train_bench()
+    if "--train-v2" in sys.argv:
+        train_v2_bench()
+    elif "--train" in sys.argv:
+        train_bench(rewards="--rewards" in sys.argv)
+    elif "--profile" in sys.argv:
+        profile_bench()
     else:
         main()

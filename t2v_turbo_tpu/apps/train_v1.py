@@ -83,6 +83,11 @@ def parse_args(argv=None):
     p.add_argument("--video-rm-ckpt", default=None)
     p.add_argument("--video-reward-scale", type=float, default=1.0)
     p.add_argument("--video-rm-frames", type=int, default=8)
+    p.add_argument("--vae-decode-batch-size", type=int, default=16,
+                   help="frames decoded per VAE chunk inside the reward "
+                        "losses (reference --vae_decode_batch_size, "
+                        "train_t2v_turbo_v1_lora.py:416-435); 0 = no "
+                        "chunking")
     p.add_argument("--video-rm-fraction", type=float, default=0.25)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--multihost", action="store_true",
@@ -111,6 +116,7 @@ def build_reward_stack(args, spec):
             make_video_reward_fn,
         )
 
+        dchunk = getattr(args, "vae_decode_batch_size", None) or None
         if spec is not None and args.checkpoint:
             from ..io.torch_import import (
                 import_vae_params,
@@ -179,7 +185,8 @@ def build_reward_stack(args, spec):
                 tokenizer=bert_tok,
             )
             reward_models["image"] = rm
-            reward_fn = make_image_reward_fn(rvae, rvae_params, rm)
+            reward_fn = make_image_reward_fn(rvae, rvae_params, rm,
+                                            decode_chunk=dchunk)
         elif args.reward_fn != "none":
             from ..rewards.reward_fn import build_image_reward_model
 
@@ -199,7 +206,8 @@ def build_reward_stack(args, spec):
                 )
             rm = build_image_reward_model(weights=weights, **tiny_kw)
             reward_models["image"] = rm
-            reward_fn = make_image_reward_fn(rvae, rvae_params, rm)
+            reward_fn = make_image_reward_fn(rvae, rvae_params, rm,
+                                            decode_chunk=dchunk)
         if args.video_rm_fn == "vi_clip2":
             from ..rewards.blip import BertConfig
             from ..rewards.internvideo2 import (
@@ -238,7 +246,8 @@ def build_reward_stack(args, spec):
                 image_size=28 if args.tiny_model else 224,
             )
             reward_models["video"] = vrm
-            video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm)
+            video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm,
+                                                  decode_chunk=dchunk)
         elif args.video_rm_fn != "none":
             from ..rewards.reward_fn import build_video_reward_model
 
@@ -262,7 +271,8 @@ def build_reward_stack(args, spec):
                 )
             vrm = build_video_reward_model(weights=weights, **vtiny)
             reward_models["video"] = vrm
-            video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm)
+            video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm,
+                                                  decode_chunk=dchunk)
     return reward_fn, video_reward_fn, reward_models
 
 

@@ -87,6 +87,10 @@ def parse_args(argv=None):
     p.add_argument("--video-rm-batch", type=int, default=1,
                    help="samples per batch carrying the video-reward loss "
                         "(reference --video_rm_train_bsz)")
+    p.add_argument("--vae-decode-batch-size", type=int, default=16,
+                   help="frames decoded per VAE chunk inside the reward "
+                        "losses (reference --vae_decode_batch_size); 0 = "
+                        "no chunking")
     p.add_argument("--webvid-no-reward", action="store_true",
                    help="skip reward losses on batches with NO short "
                         "captions (the reference infers this opt-out from "

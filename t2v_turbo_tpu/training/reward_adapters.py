@@ -19,10 +19,35 @@ the input pipeline (the reference's no-grad text branches).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def chunked_decode(vae, vae_params, frames: jax.Array, decode_chunk=None):
+    """VAE-decode (N, h, w, C) latents `decode_chunk` frames at a time
+    (the reference's --vae_decode_batch_size micro-batching,
+    train_t2v_turbo_v1_lora.py:416-435). Each chunk runs under
+    jax.checkpoint, so the decoder's backward pass recomputes one chunk's
+    activations at a time instead of holding every chunk's residuals live
+    — this is what bounds the reward path's peak memory, not the chunked
+    forward alone."""
+    n = frames.shape[0]
+    if not decode_chunk or decode_chunk >= n:
+        return vae.apply(vae_params, frames, method=vae.decode)
+    chunks = -(-n // decode_chunk)
+    pad = chunks * decode_chunk - n
+    fr = frames
+    if pad:
+        fr = jnp.pad(fr, ((0, pad),) + ((0, 0),) * (frames.ndim - 1))
+    fr = fr.reshape(chunks, decode_chunk, *frames.shape[1:])
+    dec = jax.checkpoint(
+        lambda f: vae.apply(vae_params, f, method=vae.decode)
+    )
+    out = jax.lax.map(dec, fr)
+    out = out.reshape(chunks * decode_chunk, *out.shape[2:])
+    return out[:n] if pad else out
 
 
 def make_image_reward_fn(
@@ -30,6 +55,7 @@ def make_image_reward_fn(
     vae_params,
     reward_model,
     scale_factor: float = 0.18215,
+    decode_chunk: Optional[int] = None,
 ) -> Callable:
     def reward_fn(model_pred: jax.Array, batch: dict) -> jax.Array:
         """model_pred: (B, T, h, w, C) predicted clean latents."""
@@ -41,7 +67,7 @@ def make_image_reward_fn(
             model_pred, idx[:, :, None, None, None], axis=1
         )  # (B, n, h, w, C)
         frames = sel.reshape(b * n, *sel.shape[2:]) / scale_factor
-        imgs = vae.apply(vae_params, frames, method=vae.decode)
+        imgs = chunked_decode(vae, vae_params, frames, decode_chunk)
         imgs = jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)  # (B*n, H, W, 3)
         feats_rep = jnp.repeat(feats, n, axis=0)
         scores = reward_model.score(imgs, feats_rep)  # (B*n,)
@@ -55,6 +81,7 @@ def make_video_reward_fn(
     vae_params,
     video_reward_model,
     scale_factor: float = 0.18215,
+    decode_chunk: Optional[int] = None,
 ) -> Callable:
     def reward_fn(model_pred: jax.Array, batch: dict) -> jax.Array:
         idx = batch["video_frame_idx"]  # (B, n) int32 strided frames
@@ -65,7 +92,7 @@ def make_video_reward_fn(
             model_pred, idx[:, :, None, None, None], axis=1
         )
         frames = sel.reshape(b * n, *sel.shape[2:]) / scale_factor
-        imgs = vae.apply(vae_params, frames, method=vae.decode)
+        imgs = chunked_decode(vae, vae_params, frames, decode_chunk)
         imgs = jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
         vids = imgs.reshape(b, n, *imgs.shape[1:])
         return video_reward_model.score(vids, feats)

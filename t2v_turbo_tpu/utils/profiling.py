@@ -77,6 +77,42 @@ def trace(log_dir: str = "/tmp/t2v_tpu_trace"):
         jax.profiler.stop_trace()
 
 
+def top_ops_from_trace(log_dir: str, k: int = 10) -> list:
+    """Aggregate per-op device time from a jax.profiler trace directory.
+
+    Parses the xplane.pb with jax.profiler.ProfileData (no tensorboard
+    needed) and returns [(op_name, total_ms, pct), ...] for the top-k ops
+    by device time — the direct evidence for 'which ops own the step'
+    (PERF_NOTES per-op breakdown)."""
+    import glob as _glob
+
+    from jax.profiler import ProfileData
+
+    paths = sorted(
+        _glob.glob(f"{log_dir}/**/*.xplane.pb", recursive=True),
+        key=lambda p: p,
+    )
+    if not paths:
+        return []
+    p = ProfileData.from_file(paths[-1])
+    totals: Dict[str, float] = {}
+    for plane in p.planes:
+        name = plane.name or ""
+        is_device = "device" in name.lower() or "tpu" in name.lower()
+        for line in plane.lines:
+            # host planes: only the XLA client line carries op events
+            if not is_device and "Client" not in (line.name or ""):
+                continue
+            for ev in line.events:
+                en = ev.name or ""
+                if en.startswith("end:") or en.startswith("$") or not en:
+                    continue
+                totals[en] = totals.get(en, 0.0) + (ev.duration_ns or 0.0)
+    total = sum(totals.values()) or 1.0
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:k]
+    return [(n, d / 1e6, 100.0 * d / total) for n, d in top]
+
+
 class step_timer:
     """Accumulates per-step wall times with a proper device fence."""
 

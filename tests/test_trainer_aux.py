@@ -174,3 +174,28 @@ class TestValidationLogger:
         assert len(rows) == 2
         assert all(os.path.exists(r["path"]) for r in rows)
         assert rows[0]["step"] == 100
+
+
+class TestChunkedDecode:
+    def test_chunked_equals_unchunked_with_grad(self):
+        """decode_chunk micro-batching (reference --vae_decode_batch_size)
+        is numerically identical to one-shot decode, forward and backward,
+        including a non-dividing chunk size (padding path)."""
+        from t2v_turbo_tpu.training.reward_adapters import chunked_decode
+
+        vae = AutoencoderKL(cfg=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1))
+        vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+        z = jnp.asarray(
+            np.random.RandomState(0).randn(5, 2, 2, 4).astype(np.float32)
+        )
+        full = chunked_decode(vae, vp, z, None)
+        for chunk in (2, 3, 5, 8):
+            out = chunked_decode(vae, vp, z, chunk)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(full), rtol=2e-5, atol=1e-5
+            )
+        g_full = jax.grad(lambda z_: chunked_decode(vae, vp, z_, None).sum())(z)
+        g_chunk = jax.grad(lambda z_: chunked_decode(vae, vp, z_, 2).sum())(z)
+        np.testing.assert_allclose(
+            np.asarray(g_chunk), np.asarray(g_full), rtol=2e-4, atol=1e-5
+        )

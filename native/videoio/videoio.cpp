@@ -197,6 +197,97 @@ int vio_decode(const char* path, int n_frames, double target_fps, int mode,
   return next;
 }
 
+// decord get_batch analog (reference video_decode.py:222-224 decodes only
+// the frame indices the cut-aware sampler chose): decode exact frame
+// indices start, start+stride, ..., start+(n_frames-1)*stride, scaled to
+// (out_w, out_h) RGB24 into out. Seeks to the nearest prior keyframe and
+// derives each decoded frame's index from its timestamp, so the cost is
+// O(window + keyframe distance), not O(start).
+int vio_decode_window(const char* path, int64_t start, int stride,
+                      int n_frames, int out_w, int out_h, uint8_t* out) {
+  FmtCtx fmt;
+  CodecCtx dec;
+  int idx;
+  if (open_video(path, fmt, dec, &idx) != 0) return -1;
+  AVStream* st = fmt.p->streams[idx];
+  double tb = av_q2d(st->time_base);
+  AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  double fps = fr.den ? av_q2d(fr) : 30.0;
+  if (fps <= 0) fps = 30.0;
+  if (stride < 1) stride = 1;
+  if (out_w <= 0) out_w = dec.p->width;
+  if (out_h <= 0) out_h = dec.p->height;
+
+  if (start > 0) {
+    int64_t ts = (int64_t)(start / fps / tb);
+    av_seek_frame(fmt.p, idx, ts, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(dec.p);
+  }
+
+  SwsContext* sws =
+      sws_getContext(dec.p->width, dec.p->height, dec.p->pix_fmt, out_w, out_h,
+                     AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!sws) return fail("sws ctx");
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int next = 0;
+  int64_t filled = 0;
+  double last_t = -1e9;
+  const size_t frame_bytes = (size_t)out_w * out_h * 3;
+
+  auto emit = [&](AVFrame* f, double t) {
+    int64_t fidx = (int64_t)(t * fps + 0.5);
+    while (next < n_frames && fidx >= start + (int64_t)next * stride) {
+      uint8_t* dst[1] = {out + (size_t)next * frame_bytes};
+      int dst_stride[1] = {out_w * 3};
+      sws_scale(sws, f->data, f->linesize, 0, dec.p->height, dst, dst_stride);
+      next++;
+      filled++;
+    }
+  };
+
+  int ret = 0;
+  while (next < n_frames && (ret = av_read_frame(fmt.p, pkt)) >= 0) {
+    if (pkt->stream_index == idx) {
+      if (avcodec_send_packet(dec.p, pkt) == 0) {
+        while (avcodec_receive_frame(dec.p, frame) == 0) {
+          int64_t pts = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                            ? frame->best_effort_timestamp
+                            : frame->pts;
+          double t = pts != AV_NOPTS_VALUE ? pts * tb : last_t + 1.0 / fps;
+          last_t = t;
+          emit(frame, t);
+          if (next >= n_frames) break;
+        }
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  if (next < n_frames) {
+    avcodec_send_packet(dec.p, nullptr);
+    while (next < n_frames && avcodec_receive_frame(dec.p, frame) == 0) {
+      int64_t pts = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                        ? frame->best_effort_timestamp
+                        : frame->pts;
+      double t = pts != AV_NOPTS_VALUE ? pts * tb : last_t + 1.0 / fps;
+      last_t = t;
+      emit(frame, t);
+    }
+  }
+  while (next < n_frames && filled > 0) {
+    std::memcpy(out + (size_t)next * frame_bytes,
+                out + (size_t)(next - 1) * frame_bytes, frame_bytes);
+    next++;
+  }
+
+  sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  if (filled == 0) return fail("decoded zero frames in window");
+  return next;
+}
+
 int vio_encode(const char* path, const uint8_t* frames, int t, int h, int w,
                double fps, const char* codec_name) {
   AVFormatContext* oc = nullptr;

@@ -65,6 +65,16 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.vio_decode.restype = ctypes.c_int
+    lib.vio_decode_window.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.vio_decode_window.restype = ctypes.c_int
     lib.vio_encode.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_uint8),
@@ -141,6 +151,102 @@ def decode(
     if got < 0:
         raise IOError(f"decode({path}): {_err(lib)}")
     return out
+
+
+def decode_window(
+    path: str,
+    start: int,
+    n_frames: int,
+    stride: int = 1,
+    width: int = 0,
+    height: int = 0,
+) -> np.ndarray:
+    """Decode exact frame indices start, start+stride, ... -> (T, H, W, 3)
+    uint8 (decord get_batch analog; the cut-aware sampler's decode path,
+    reference video_decode.py:222-224)."""
+    lib = _load()
+    if width <= 0 or height <= 0:
+        info = probe(path)
+        width = width if width > 0 else info.width
+        height = height if height > 0 else info.height
+    out = np.empty((n_frames, height, width, 3), np.uint8)
+    got = lib.vio_decode_window(
+        path.encode(), start, stride, n_frames, width, height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if got < 0:
+        raise IOError(f"decode_window({path}): {_err(lib)}")
+    return out
+
+
+def detect_cuts(
+    frames: np.ndarray, threshold: float = 0.3, min_scene_len: int = 2
+) -> np.ndarray:
+    """Host-side scene-cut detection on decoded frames: normalized mean
+    absolute luma difference between consecutive frames; a cut wherever
+    the difference exceeds `threshold`. Returns an (n_scenes, 2) array of
+    [start, end) frame ranges — the scene-list format the reference's
+    VideoDecorderWithCutDetection consumes (video_decode.py:188-224; note
+    the reference only CONSUMES precomputed cut lists from the tar — the
+    detection itself is a capability it does not have)."""
+    f = frames.astype(np.float32)
+    luma = f @ np.array([0.299, 0.587, 0.114], np.float32)
+    diff = np.abs(np.diff(luma, axis=0)).mean(axis=(1, 2)) / 255.0
+    cut_points = np.flatnonzero(diff > threshold) + 1
+    bounds = [0, *cut_points.tolist(), frames.shape[0]]
+    scenes = [
+        (a, b)
+        for a, b in zip(bounds[:-1], bounds[1:])
+        if b - a >= min_scene_len
+    ]
+    if not scenes:
+        scenes = [(0, frames.shape[0])]
+    return np.asarray(scenes, np.int64)
+
+
+def sample_scene_clip(
+    scene_list: np.ndarray, n_frames: int, stride: int = 1, seed: int = 0
+) -> np.ndarray:
+    """Pick a random scene long enough for n_frames*stride and a random
+    start inside it; return the strided frame indices (the reference's
+    cut-aware get_frames sampling, video_decode.py:211-224)."""
+    min_len = n_frames * stride
+    eligible = [s for s in np.asarray(scene_list) if s[1] - s[0] > min_len]
+    if not eligible:
+        raise ValueError("video clips not long enough for decoding")
+    rng = np.random.RandomState(seed)
+    start, end = eligible[rng.randint(len(eligible))]
+    frame_start = rng.randint(int(end - start) - min_len) + start
+    return np.arange(frame_start, frame_start + min_len, stride)[:n_frames]
+
+
+def decode_scene_aware(
+    path: str,
+    n_frames: int = 16,
+    stride: int = 1,
+    seed: int = 0,
+    width: int = 0,
+    height: int = 0,
+    scene_list: Optional[np.ndarray] = None,
+    threshold: float = 0.3,
+    probe_height: int = 72,
+) -> np.ndarray:
+    """Cut-aware clip decode: the sampled window never crosses a scene
+    boundary. scene_list=None detects cuts from a cheap low-res strip of
+    EVERY frame first (probe_height tall), then only the chosen window is
+    decoded at full size via decode_window."""
+    if scene_list is None:
+        info = probe(path)
+        total = max(int(info.n_frames), n_frames)
+        pw = max(2, round(probe_height * info.width / max(info.height, 1)))
+        strip = decode(
+            path, n_frames=total, target_fps=0.0, width=pw, height=probe_height
+        )
+        scene_list = detect_cuts(strip, threshold=threshold)
+    idx = sample_scene_clip(scene_list, n_frames, stride=stride, seed=seed)
+    return decode_window(
+        path, int(idx[0]), n_frames, stride=stride, width=width, height=height
+    )
 
 
 def encode(path: str, frames: np.ndarray, fps: float = 8.0, codec: str = "") -> None:

@@ -291,3 +291,60 @@ class TestPrefixResamplerExclusivity:
         # the "a/" pool must contain only a/c0.tar: a/b0.tar is near-never
         # drawn because its (first-match) pool has ~zero weight
         assert sum(d == "a/b0.tar" for d in draws) <= 2
+
+
+@pytest.mark.skipif(not NATIVE, reason="native videoio not built")
+class TestCutDetection:
+    """Cut-aware decoding (reference VideoDecorderWithCutDetection,
+    video_decode.py:188-224): scene detection on a synthetic two-scene
+    clip, window decode, and the guarantee that sampled clips never cross
+    a scene boundary."""
+
+    def _two_scene_mp4(self, tmp_path, n_a=12, n_b=12):
+        frames = np.concatenate([
+            np.full((n_a, 64, 64, 3), 30, np.uint8),
+            np.full((n_b, 64, 64, 3), 220, np.uint8),
+        ])
+        p = tmp_path / "two_scene.mp4"
+        videoio.encode(str(p), frames, fps=8.0)
+        return str(p), n_a, n_b
+
+    def test_detect_cuts_synthetic(self, tmp_path):
+        path, n_a, n_b = self._two_scene_mp4(tmp_path)
+        frames = videoio.decode(path, n_frames=n_a + n_b, target_fps=0.0)
+        scenes = videoio.detect_cuts(frames, threshold=0.3)
+        assert scenes.shape[0] == 2
+        # codec smear can move the boundary by a frame
+        assert abs(int(scenes[0][1]) - n_a) <= 1
+        assert int(scenes[0][0]) == 0 and int(scenes[1][1]) == n_a + n_b
+
+    def test_sample_never_crosses_boundary(self):
+        scenes = np.array([[0, 12], [12, 24]])
+        for seed in range(20):
+            idx = videoio.sample_scene_clip(scenes, n_frames=4, stride=2, seed=seed)
+            assert len(idx) == 4
+            inside = any(s <= idx[0] and idx[-1] < e for s, e in scenes)
+            assert inside, (idx, scenes)
+        with pytest.raises(ValueError, match="not long enough"):
+            videoio.sample_scene_clip(np.array([[0, 4]]), n_frames=8)
+
+    def test_decode_window_exact_indices(self, tmp_path):
+        # gradient clip: frame i has constant value ~i*9
+        frames = np.stack([
+            np.full((64, 64, 3), i * 9, np.uint8) for i in range(24)
+        ])
+        p = tmp_path / "grad.mp4"
+        videoio.encode(str(p), frames, fps=8.0)
+        win = videoio.decode_window(str(p), start=5, n_frames=4, stride=2)
+        assert win.shape == (4, 64, 64, 3)
+        got = win.mean(axis=(1, 2, 3))
+        want = np.array([5, 7, 9, 11]) * 9.0
+        assert np.all(np.abs(got - want) < 9.0), (got, want)
+
+    def test_decode_scene_aware_single_scene(self, tmp_path):
+        path, n_a, n_b = self._two_scene_mp4(tmp_path, 16, 16)
+        for seed in range(4):
+            clip = videoio.decode_scene_aware(path, n_frames=8, seed=seed)
+            means = clip.mean(axis=(1, 2, 3))
+            # all frames from ONE scene: uniformly dark or uniformly bright
+            assert means.max() - means.min() < 60, means

@@ -159,3 +159,31 @@ class TestConfig:
         assert spec.use_scale and spec.scale_b == 0.7
         sched = spec.make_schedule()
         assert sched.num_timesteps == 1000
+
+
+class TestEndToEndGolden:
+    def test_prompt_to_video_matches_committed_golden(self, tiny_pipe):
+        """Whole-pipeline composition guard: a fixed-weight, fixed-key
+        prompt->video run compared against a committed npz (the e2e analog
+        of the DDIM chain golden). Catches any silent change to the
+        text-encode -> scan sampling loop -> VAE decode composition across
+        rounds without needing torch or checkpoints. Regenerates the
+        fixture when missing (commit the new file if the change is
+        intentional and justified)."""
+        import goldens
+
+        out = tiny_pipe(
+            prompt="a golden test prompt",
+            height=8,
+            width=8,
+            frames=4,
+            num_inference_steps=4,
+            key=jax.random.PRNGKey(42),
+        )
+        arr = np.asarray(out)
+        g = goldens.load("pipeline_e2e_tiny")
+        if g is None:
+            goldens.save("pipeline_e2e_tiny", {"video": arr})
+            pytest.skip("golden generated; commit tests/goldens/pipeline_e2e_tiny.npz")
+        assert arr.shape == g["video"].shape
+        np.testing.assert_allclose(arr, g["video"], rtol=1e-4, atol=2e-4)

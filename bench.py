@@ -269,11 +269,14 @@ def train_v2_bench():
       BENCH_REWARDS=0  drop the reward towers (recipe default is ON:
                        reward_scale 0.2 / video 0.5)
       BENCH_FSDP=1     FSDP state sharding (single chip -> no-op)
+      BENCH_GRADS_BF16=0  f32 grad tree (default bf16: the f32 tree is
+                       5.6 GB and pushes the single-chip step to 18.6 GB
+                       > 15.75 GB hbm — measured OOM; see PERF_NOTES r3)
     """
     from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
     from t2v_turbo_tpu.models import UNetConfig, UNetModel
     from t2v_turbo_tpu.training.lcd_v2 import LCDV2Config, lcd_v2_loss
-    from t2v_turbo_tpu.training.optim import make_v2_optimizer
+    from t2v_turbo_tpu.training.optim import make_optimizer
     from t2v_turbo_tpu.training.trainer import LCDTrainer, TrainerConfig
     from t2v_turbo_tpu.utils.cache import enable_persistent_cache
 
@@ -282,6 +285,7 @@ def train_v2_bench():
     use_ema = os.environ.get("BENCH_EMA", "0") == "1"
     use_rewards = os.environ.get("BENCH_REWARDS", "1") == "1"
     use_fsdp = os.environ.get("BENCH_FSDP", "0") == "1"
+    grads_bf16 = os.environ.get("BENCH_GRADS_BF16", "1") == "1"
 
     cfg = UNetConfig(time_cond_proj_dim=256, motion_cond_proj_dim=256)
     student = UNetModel(cfg=cfg, dtype=jnp.bfloat16, use_remat=True)
@@ -337,13 +341,17 @@ def train_v2_bench():
         sched=sched,
         solver=solver,
         lcd_cfg=None,
-        optimizer=make_v2_optimizer("adamw8bit", 1e-5,
-                                    temporal_learning_rate=1e-5),
+        # plain int8 AdamW: the recipe's temporal-LR group uses the SAME LR
+        # by default, and optax.multi_transform triples the optimizer graph
+        # — a real compile-time cost on this 1-core host for zero numeric
+        # difference in the bench
+        optimizer=make_optimizer("adamw8bit", 1e-5),
         cfg=TrainerConfig(
             output_dir="/tmp/bench_train_v2",
             lora_rank=None,
             ema_decay=0.95 if use_ema else None,
             fsdp=use_fsdp,
+            grads_bf16=grads_bf16,
         ),
         loss_fn_override=lambda trainable, batch, key, ema=None: lcd_v2_loss(
             trainable, batch, key, student_apply=apply, target_params=ema,
@@ -401,6 +409,7 @@ def train_v2_bench():
                 "step_ms": round(step_s * 1e3, 1),
                 "ema_target": use_ema,
                 "rewards": use_rewards,
+                "grads_bf16": grads_bf16,
                 "optimizer": "adamw8bit",
                 "unet_params_b": round(n_params / 1e9, 3),
             }

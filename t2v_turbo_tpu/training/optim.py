@@ -126,7 +126,11 @@ def adamw_q8_states(
             step = mhat / (jnp.sqrt(vhat) + eps)
             if weight_decay > 0 and p is not None:
                 step = step + weight_decay * p.astype(jnp.float32)
-            return (-lr * step).astype(g.dtype), _q8_quantize(m), _q8_quantize(jnp.sqrt(v))
+            # update in the PARAM dtype (f32 master weights), not the grad
+            # dtype: with bf16 grads (TrainerConfig.grads_bf16) the step is
+            # still computed and applied in f32
+            out_dtype = p.dtype if p is not None else g.dtype
+            return (-lr * step).astype(out_dtype), _q8_quantize(m), _q8_quantize(jnp.sqrt(v))
 
         flat_g, treedef = jax.tree.flatten(grads)
         flat_mu = treedef.flatten_up_to(state.mu)

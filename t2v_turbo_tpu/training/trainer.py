@@ -65,6 +65,18 @@ class TrainerConfig:
     # 1 KB bias costs more than its shard saves); tests set 0 to force
     # sharding of tiny trees
     fsdp_min_size: int = 1 << 14
+    # Keep the gradient tree in bfloat16 (params stay f32 master weights;
+    # Adam's moment math and the applied update stay f32 — optim.py). The
+    # cast fuses into each grad's producing fusion, so the full-size v2
+    # UNet's 5.6 GB f32 grad tree never materializes — the difference
+    # between fitting and OOMing a 16 GB v5e for full-model training
+    # (bench.py --train-v2). bf16 keeps f32's exponent range; the ~0.4%
+    # relative mantissa rounding on g feeds moment accumulators that the
+    # reference itself quantizes far harder (bitsandbytes int8 m/v,
+    # train_t2v_turbo_v1_lora.py:764-775). Convergence-tested against f32
+    # grads in test_training.py. Caveat: grad_accum_steps>1 would also
+    # accumulate micro-grads in bf16 — prefer f32 grads when accumulating.
+    grads_bf16: bool = False
 
 
 class LCDTrainer:
@@ -203,10 +215,23 @@ class LCDTrainer:
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["trainable"], batch, key, fr, state.get("ema")
             )
-            gnorm = optax.global_norm(grads)
+            if cfg.grads_bf16:
+                grads = jax.tree.map(
+                    lambda g: g.astype(jnp.bfloat16), grads
+                )
+            # squared-sum in f32 regardless of grad dtype (a bf16 reduction
+            # over 1e9 elements loses the norm entirely)
+            gnorm = jnp.sqrt(
+                sum(
+                    jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree.leaves(grads)
+                )
+            )
             if cfg.grad_accum_steps <= 1:
                 scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
-                grads = jax.tree.map(lambda g: g * scale, grads)
+                grads = jax.tree.map(
+                    lambda g: (g * scale).astype(g.dtype), grads
+                )
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["trainable"]
             )

@@ -42,7 +42,8 @@ def data_iter(b=8, t=4):
         }
 
 
-def build_trainer(tmp_path, lora_rank=2, ema=None, max_steps=4):
+def build_trainer(tmp_path, lora_rank=2, ema=None, max_steps=4,
+                  optimizer=None, **cfg_kw):
     student, sp, teacher, tp = tiny_models()
     sched = DiffusionSchedule.create()
     solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
@@ -57,7 +58,7 @@ def build_trainer(tmp_path, lora_rank=2, ema=None, max_steps=4):
         sched=sched,
         solver=solver,
         lcd_cfg=LCDConfig(w_embedding_dim=8),
-        optimizer=make_optimizer("adamw", 1e-4),
+        optimizer=optimizer or make_optimizer("adamw", 1e-4),
         cfg=TrainerConfig(
             output_dir=str(tmp_path),
             max_steps=max_steps,
@@ -66,6 +67,7 @@ def build_trainer(tmp_path, lora_rank=2, ema=None, max_steps=4):
             log_every=1,
             lora_rank=lora_rank,
             ema_decay=ema,
+            **cfg_kw,
         ),
         mesh=mesh,
     )
@@ -114,6 +116,41 @@ class TestTrainer:
         start = trainer2.resume_if_available()
         assert start == 4
         assert int(trainer2.state["step"]) == 4
+
+    def test_bf16_grads_track_f32_grads(self, tmp_path):
+        """TrainerConfig.grads_bf16 (the full-model-v2 memory lever,
+        bench.py --train-v2): a bf16 grad tree must track the f32 run —
+        same loss trajectory to ~1%, params move, finite grad norm. Run
+        full-finetune + adamw8bit, the config the lever exists for."""
+        runs = {}
+        for bf16 in (False, True):
+            trainer = build_trainer(
+                tmp_path / f"g{int(bf16)}",
+                lora_rank=None,
+                optimizer=make_optimizer("adamw8bit", 1e-4),
+                grads_bf16=bf16,
+            )
+            it = data_iter()
+            key = jax.random.PRNGKey(7)
+            losses, gnorms = [], []
+            for _ in range(5):
+                batch = trainer.shard_batch(next(it))
+                trainer.state, m = trainer._step_jit(trainer.state, batch, key)
+                losses.append(float(m["loss"]))
+                gnorms.append(float(m["grad_norm"]))
+            runs[bf16] = (np.asarray(losses), gnorms, trainer.state["trainable"])
+
+        l32, g32, p32 = runs[False]
+        l16, g16, p16 = runs[True]
+        assert np.all(np.isfinite(l16)) and np.all(np.isfinite(g16))
+        np.testing.assert_allclose(l16, l32, rtol=2e-2)
+        # the two runs' final params agree to bf16-rounding-accumulation
+        # tolerance and both moved from init
+        d = max(
+            float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-8))
+            for a, b in zip(jax.tree.leaves(p16), jax.tree.leaves(p32))
+        )
+        assert d < 5e-2
 
     def test_full_finetune_with_ema(self, tmp_path):
         trainer = build_trainer(tmp_path, lora_rank=None, ema=0.9, max_steps=2)

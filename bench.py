@@ -276,7 +276,7 @@ def train_v2_bench():
     from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
     from t2v_turbo_tpu.models import UNetConfig, UNetModel
     from t2v_turbo_tpu.training.lcd_v2 import LCDV2Config, lcd_v2_loss
-    from t2v_turbo_tpu.training.optim import make_optimizer
+    from t2v_turbo_tpu.training.optim import make_v2_optimizer
     from t2v_turbo_tpu.training.trainer import LCDTrainer, TrainerConfig
     from t2v_turbo_tpu.utils.cache import enable_persistent_cache
 
@@ -341,11 +341,11 @@ def train_v2_bench():
         sched=sched,
         solver=solver,
         lcd_cfg=None,
-        # plain int8 AdamW: the recipe's temporal-LR group uses the SAME LR
-        # by default, and optax.multi_transform triples the optimizer graph
-        # — a real compile-time cost on this 1-core host for zero numeric
-        # difference in the bench
-        optimizer=make_optimizer("adamw8bit", 1e-5),
+        # the recipe's grouped optimizer (temporal-LR group) — fused
+        # single-adam design in optim.py, so the group costs no extra
+        # compile/graph size
+        optimizer=make_v2_optimizer("adamw8bit", 1e-5,
+                                    temporal_learning_rate=1e-5),
         cfg=TrainerConfig(
             output_dir="/tmp/bench_train_v2",
             lora_rank=None,

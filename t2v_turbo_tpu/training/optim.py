@@ -219,6 +219,17 @@ def make_v2_optimizer(
     `text_resblocks` is the number of blocks the JAX tower RUNS (23 for the
     penultimate-layer ViT-H tower — the reference's final block is dead at
     inference and not materialized here, see models/clip_text.py).
+
+    Implementation: ONE inner optimizer over the whole tree, with frozen
+    leaves' grads zeroed before it (clean moments) and per-leaf update
+    scaling after it (temporal *= t_lr/lr, frozen *= 0). Numerically
+    identical to per-group optimizers — Adam's moments don't depend on lr,
+    and both the Adam step and AdamW decay scale linearly in lr (constant
+    ratio also holds under the warmup/cosine schedules, which scale with
+    their peak) — but compiles ONE adam graph instead of three
+    optax.multi_transform masked copies (a real lowering/compile cost at
+    1.4B params on the 1-core host). Frozen leaves keep (all-zero) moment
+    slots; only the locked text layers, negligible next to the UNet.
     """
     import re
 
@@ -239,24 +250,47 @@ def make_v2_optimizer(
             return "frozen"  # token/positional embeddings stay locked
         return "temporal" if is_temporal_param(path) else "base"
 
-    def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: label_one(path), params
-        )
-
     t_lr = (
         temporal_learning_rate
         if temporal_learning_rate is not None
         else learning_rate
     )
-    return optax.multi_transform(
-        {
-            "base": make_optimizer(name, learning_rate, **kw),
-            "temporal": make_optimizer(name, t_lr, **kw),
-            "frozen": optax.set_to_zero(),
-        },
-        label_fn,
+    scales = {
+        "base": 1.0,
+        "temporal": float(t_lr) / float(learning_rate),
+        "frozen": 0.0,
+    }
+    return _scaled_by_label(
+        make_optimizer(name, learning_rate, **kw), label_one, scales
     )
+
+
+def _scaled_by_label(base, label_one, scales):
+    """One inner transform + per-leaf update scaling (see make_v2_optimizer).
+    Leaves labeled with scale 0.0 also have their grads zeroed BEFORE the
+    inner update so they never pollute moment estimates."""
+    import jax
+
+    def _apply(tree, fn):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: fn(scales[label_one(path)], leaf), tree
+        )
+
+    def init(params):
+        return base.init(params)
+
+    def update(grads, state, params=None):
+        grads = _apply(
+            grads, lambda s, g: jnp.zeros_like(g) if s == 0.0 else g
+        )
+        updates, state = base.update(grads, state, params)
+        updates = _apply(
+            updates,
+            lambda s, u: u if s == 1.0 else (u * s).astype(u.dtype),
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_grouped_optimizer(
@@ -267,22 +301,15 @@ def make_grouped_optimizer(
 ) -> optax.GradientTransformation:
     """Two-group optimizer: temporal modules at their own LR, everything else
     at the base LR. Falls back to a single optimizer when temporal LR is
-    unset."""
+    unset. Same fused single-adam design as make_v2_optimizer."""
     if temporal_learning_rate is None:
         return make_optimizer(name, learning_rate, **kw)
 
-    import jax
-
-    def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "temporal" if is_temporal_param(path) else "base",
-            params,
-        )
-
-    return optax.multi_transform(
+    return _scaled_by_label(
+        make_optimizer(name, learning_rate, **kw),
+        lambda path: "temporal" if is_temporal_param(path) else "base",
         {
-            "base": make_optimizer(name, learning_rate, **kw),
-            "temporal": make_optimizer(name, temporal_learning_rate, **kw),
+            "base": 1.0,
+            "temporal": float(temporal_learning_rate) / float(learning_rate),
         },
-        label_fn,
     )

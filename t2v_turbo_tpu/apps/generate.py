@@ -53,11 +53,40 @@ def parse_args(argv=None):
     p.add_argument("--seq-shards", type=int, default=1,
                    help="mesh seq axis (frames sharded across chips for "
                         "latency; temporal collectives ride ICI)")
+    p.add_argument("--model-shards", type=int, default=1,
+                   help="mesh model axis (tensor-parallel UNet weights: "
+                        "attention/FF column-row splits + conv-channel "
+                        "pairs; the third latency axis once seq is "
+                        "exhausted at T<=48)")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--output", default="output.mp4")
     p.add_argument("--save-fps", type=int, default=8)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args(argv)
+
+
+def _maybe_make_mesh(args):
+    """Build the inference mesh from --data/--seq/--model-shards, or None.
+
+    Uses exactly data*seq*model devices (the first that many), leaving any
+    extras idle rather than inflating the data axis: generate runs ONE video
+    (batch 1), so a silently-grown data axis would fail the pipeline's
+    batch-divisibility check on any host with spare devices."""
+    if args.data_shards * args.seq_shards * args.model_shards <= 1:
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    need = args.data_shards * args.seq_shards * args.model_shards
+    devs = jax.devices()
+    if len(devs) < need:
+        raise SystemExit(
+            f"--data/--seq/--model-shards need {need} devices, "
+            f"have {len(devs)}"
+        )
+    return make_mesh(devices=devs[:need], data=args.data_shards,
+                     seq=args.seq_shards, model=args.model_shards)
 
 
 def build_pipeline(args):
@@ -132,11 +161,7 @@ def build_pipeline(args):
         print("error: provide --checkpoint or pass --random-weights", file=sys.stderr)
         sys.exit(2)
 
-    mesh = None
-    if args.data_shards * args.seq_shards > 1:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh(data=args.data_shards, seq=args.seq_shards)
+    mesh = _maybe_make_mesh(args)
     return T2VTurboVC2Pipeline(
         unet=unet,
         unet_params=unet_params,
@@ -218,11 +243,7 @@ def build_ms_pipeline(args):
 
     from ..diffusion import DiffusionSchedule
 
-    mesh = None
-    if args.data_shards * args.seq_shards > 1:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh(data=args.data_shards, seq=args.seq_shards)
+    mesh = _maybe_make_mesh(args)
     return T2VTurboMSPipeline(
         unet=unet,
         unet_params=unet_params,

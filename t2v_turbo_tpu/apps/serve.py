@@ -124,6 +124,7 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true", help="tiny dims for smoke")
     p.add_argument("--data-shards", type=int, default=1)
     p.add_argument("--seq-shards", type=int, default=1)
+    p.add_argument("--model-shards", type=int, default=1)
     return p.parse_args(argv)
 
 
@@ -140,7 +141,8 @@ def main(argv=None):
     a = A()
     for k in ("config", "backbone", "ms_dir", "checkpoint", "unet_ckpt",
               "lora_ckpt", "random_weights",
-              "frames", "height", "width", "data_shards", "seq_shards"):
+              "frames", "height", "width", "data_shards", "seq_shards",
+              "model_shards"):
         setattr(a, k, getattr(args, k, None))
     a.cpu = args.cpu
 

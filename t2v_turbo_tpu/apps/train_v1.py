@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer state over the data axis "
                         "(ZeRO-3)")
+    p.add_argument("--grads-bf16", action="store_true",
+                   help="bf16 gradient tree (f32 Adam math/update; halves "
+                        "grad memory — what fits full-model v2 on one 16 GB "
+                        "chip, see TrainerConfig.grads_bf16)")
     # reward feedback (reference --reward_fn_name/--video_rm_name etc.)
     p.add_argument("--reward-fn", default="none",
                    choices=["none", "clip", "hpsv2", "pick", "img_reward"])
@@ -402,6 +406,7 @@ def main(argv=None):
             log_every=1,
             grad_accum_steps=args.gradient_accumulation_steps,
             fsdp=args.fsdp,
+            grads_bf16=args.grads_bf16,
         ),
         mesh=mesh,
     )

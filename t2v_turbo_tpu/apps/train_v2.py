@@ -55,6 +55,10 @@ def parse_args(argv=None):
                         "axis (ZeRO-3; fits full-model training on 16 GB "
                         "chips — the reference relies on replicated DDP + "
                         "AdamW8bit instead)")
+    p.add_argument("--grads-bf16", action="store_true",
+                   help="bf16 gradient tree (f32 Adam math/update; halves "
+                        "grad memory — what fits full-model v2 on one 16 GB "
+                        "chip, see TrainerConfig.grads_bf16)")
     # partial text-encoder unfreeze (reference :127-137,816-830)
     p.add_argument("--train-text-encoder", action="store_true",
                    help="re-encode captions at train time and train the last "
@@ -345,6 +349,7 @@ def main(argv=None):
             log_every=1,
             grad_accum_steps=args.gradient_accumulation_steps,
             fsdp=args.fsdp,
+            grads_bf16=args.grads_bf16,
         ),
         mesh=make_mesh(seq=args.seq_shards),
         loss_fn_override=loss_override,

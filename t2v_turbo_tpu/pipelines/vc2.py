@@ -53,7 +53,11 @@ class T2VTurboVC2Pipeline:
     # sharded B->data, frames T->seq through the whole sampling scan (XLA
     # inserts halo exchanges for the (3,1,1) temporal convs and all-gathers
     # for temporal attention over ICI), and VAE decode spreads frames over
-    # every device. Params replicate lazily on first sharded call.
+    # every device. Params replicate lazily on first sharded call — except
+    # when the mesh has a "model" axis > 1: then the UNet weights are
+    # tensor-parallel (parallel/tp.py column/row splits over attention
+    # projections, GEGLU FF, and the ResBlock/TemporalConv conv pairs), the
+    # third latency axis for a single video once seq is exhausted at T<=48.
     mesh: Any = None
 
     def __post_init__(self):
@@ -228,7 +232,22 @@ class T2VTurboVC2Pipeline:
             w_emb = jax.device_put(w_emb, row)
             fps_arr = jax.device_put(fps_arr, row)
             if not self._params_placed:
-                self.unet_params = jax.device_put(self.unet_params, rep)
+                if self.mesh.shape.get("model", 1) > 1:
+                    from ..parallel.tp import tp_param_shardings
+
+                    self.unet_params = jax.device_put(
+                        self.unet_params,
+                        tp_param_shardings(
+                            self.mesh,
+                            self.unet_params,
+                            head_dim=getattr(
+                                self.unet.cfg, "num_head_channels", None
+                            ),
+                            conv_channels=True,
+                        ),
+                    )
+                else:
+                    self.unet_params = jax.device_put(self.unet_params, rep)
                 self.vae_params = jax.device_put(self.vae_params, rep)
                 self._params_placed = True
 

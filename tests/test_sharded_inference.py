@@ -58,6 +58,23 @@ class TestShardedInference:
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
+    def test_tp_mesh_matches_unsharded(self):
+        """(data, seq, model) mesh: the UNet weights go tensor-parallel
+        (attention/FF/conv-channel splits, pipelines/vc2.py) and the result
+        must still equal the unsharded run."""
+        ref = np.asarray(run(build_pipe(mesh=None)))
+        mesh = make_mesh(seq=2, model=2)  # (data=2, seq=2, model=2)
+        pipe = build_pipe(mesh=mesh)
+        out = np.asarray(run(pipe))
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+        # the weights really are TP-placed
+        flat = jax.tree_util.tree_flatten_with_path(pipe.unet_params)[0]
+        assert any(
+            "model" in str(leaf.sharding.spec)
+            for _, leaf in flat
+            if hasattr(leaf, "sharding")
+        )
+
     def test_latents_are_sharded_through_the_scan(self):
         mesh = make_mesh(seq=4)
         pipe = build_pipe(mesh=mesh)

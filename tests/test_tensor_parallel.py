@@ -97,6 +97,73 @@ class TestTensorParallel:
         assert ff_out, "no GEGLU out kernel split over the model axis"
 
 
+class TestConvChannelTP:
+    """conv_channels=True: Megatron-style column/row pairing over the
+    ResBlock and TemporalConvBlock conv chains (tp.py docstring). The GN
+    between paired convs keeps local stats because the model-axis size
+    divides the 32 groups."""
+
+    def test_conv_kernels_split(self):
+        unet, params, *_ = _setup()
+        mesh = make_mesh(seq=2, model=2)
+        shardings = tp_param_shardings(mesh, params, conv_channels=True)
+        flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+        by_path = {
+            "/".join(str(getattr(p, "key", p)) for p in path): s.spec
+            for path, s in flat
+        }
+        col = [p for p, s in by_path.items()
+               if s == (None, None, None, "model")]
+        row = [p for p, s in by_path.items()
+               if s == (None, None, "model", None)]
+        assert any("in_conv" in p for p in col)
+        assert any("conv1" in p or "conv3" in p for p in col)
+        assert any("out_conv" in p for p in row)
+        assert any("conv2" in p or "conv4" in p for p in row)
+        # the TOP-LEVEL conv_in / out_conv (replicated inputs) must not split
+        assert by_path["params/conv_in/kernel"] == ()
+        assert by_path["params/out_conv/kernel"] == ()
+        # emb_proj out-splits to meet in_conv's sharded output
+        assert any(
+            "emb_proj" in p and s == (None, "model")
+            for p, s in by_path.items()
+        )
+
+    def test_conv_tp_forward_matches_replicated(self):
+        unet, params, x, ts, ctx = _setup()
+        ref = np.asarray(
+            unet.apply(params, x, ts, ctx, timestep_cond=jnp.zeros((2, 8)))
+        )
+        mesh = make_mesh(seq=2, model=2)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params_tp = shard_params_tp(mesh, params, conv_channels=True)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+        cs = jax.device_put(ctx, NamedSharding(mesh, P("data")))
+        with mesh:
+            out = jax.jit(
+                lambda p, x_, c: unet.apply(
+                    p, x_, ts, c, timestep_cond=jnp.zeros((2, 8))
+                )
+            )(params_tp, xs, cs)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)
+
+    def test_conv_split_is_opt_in(self):
+        """Default (conv_channels=False) keeps every conv replicated — the
+        pre-existing attention-only behavior."""
+        unet, params, *_ = _setup()
+        mesh = make_mesh(seq=2, model=2)
+        sh = tp_param_shardings(mesh, params)
+        conv_specs = (
+            (None, None, None, "model"),
+            (None, None, "model", None),
+        )
+        assert not any(
+            s in conv_specs
+            for s in jax.tree.leaves(jax.tree.map(lambda x: x.spec, sh))
+        )
+
+
 class TestHeadBoundaryGuard:
     def test_non_divisible_head_count_stays_replicated(self):
         """VC2 level 0 has 5 heads of 64 (kernel dim 320): 320 % 2 == 0 but

@@ -231,19 +231,26 @@ def _full_size_reward_fns(rvae, rvae_params, decode_chunk=16):
     )
     vit = VisionTransformer(cfg=VIT_H_14, dtype=jnp.bfloat16)
     vvit_cfg = VideoViTConfig()
-    vvit = VideoVisionTransformer(cfg=vvit_cfg, dtype=jnp.bfloat16)
     vp = jax.jit(lambda k: to_bf16(vit.init(k, jnp.zeros((1, 224, 224, 3)))))(
         jax.random.PRNGKey(11)
     )
-    vvp = jax.jit(
-        lambda k: to_bf16(
-            vvit.init(k, jnp.zeros((1, vvit_cfg.num_frames, 224, 224, 3)))
-        )
-    )(jax.random.PRNGKey(12))
     irm = ImageRewardModel(vit, vp, None, None, None)
-    vrm = VideoRewardModel(vvit, vvp, None, None, None)
     img_fn = make_image_reward_fn(rvae, rvae_params, irm, decode_chunk=decode_chunk)
-    vid_fn = make_video_reward_fn(rvae, rvae_params, vrm, decode_chunk=decode_chunk)
+    # BENCH_VIDEO_RM=0 drops the ViCLIP tower (image RM only): the two-tower
+    # graph compiles >45 min, past the remote-compile channel's reliable
+    # window — this gives a measurable intermediate recipe point.
+    vid_fn = None
+    if os.environ.get("BENCH_VIDEO_RM", "1") == "1":
+        vvit = VideoVisionTransformer(cfg=vvit_cfg, dtype=jnp.bfloat16)
+        vvp = jax.jit(
+            lambda k: to_bf16(
+                vvit.init(k, jnp.zeros((1, vvit_cfg.num_frames, 224, 224, 3)))
+            )
+        )(jax.random.PRNGKey(12))
+        vrm = VideoRewardModel(vvit, vvp, None, None, None)
+        vid_fn = make_video_reward_fn(
+            rvae, rvae_params, vrm, decode_chunk=decode_chunk
+        )
     return img_fn, vid_fn, VIT_H_14.output_dim, vvit_cfg.output_dim, vvit_cfg.num_frames
 
 
@@ -272,6 +279,13 @@ def train_v2_bench():
       BENCH_GRADS_BF16=0  f32 grad tree (default bf16: the f32 tree is
                        5.6 GB and pushes the single-chip step to 18.6 GB
                        > 15.75 GB hbm — measured OOM; see PERF_NOTES r3)
+      BENCH_BS=N       per-chip batch (default 3 = the recipe's per-GPU
+                       batch on 80 GB A100s; measured 18.6 GB on one 16 GB
+                       v5e even with bf16 grads and no towers — the
+                       init-level activation peak alone is ~6 GB at bs=3.
+                       bs=1 is the honest 16 GB-chip recipe point; the
+                       recipe's global batch comes from data-parallel
+                       chips and/or gradient accumulation)
     """
     from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
     from t2v_turbo_tpu.models import UNetConfig, UNetModel
@@ -286,10 +300,23 @@ def train_v2_bench():
     use_rewards = os.environ.get("BENCH_REWARDS", "1") == "1"
     use_fsdp = os.environ.get("BENCH_FSDP", "0") == "1"
     grads_bf16 = os.environ.get("BENCH_GRADS_BF16", "1") == "1"
+    # BENCH_LHS=0: request latency-hiding-scheduler off. Measured NO
+    # effect through the remote-compile channel (identical 15.96 G peak —
+    # the option is silently dropped or the scheduler isn't the cause);
+    # kept for local experimentation.
+    compiler_options = (
+        {"xla_tpu_enable_latency_hiding_scheduler": "false"}
+        if os.environ.get("BENCH_LHS", "1") == "0"
+        else None
+    )
+    # BENCH_SPLIT=0: fuse grad+update into one program (the default TWO-
+    # program split is what fits bs=1 on one 16 GB chip — the fused step
+    # measured 15.96 G, OOM by 215 MB; see TrainerConfig.split_step)
+    split_step = os.environ.get("BENCH_SPLIT", "1") == "1"
 
     cfg = UNetConfig(time_cond_proj_dim=256, motion_cond_proj_dim=256)
     student = UNetModel(cfg=cfg, dtype=jnp.bfloat16, use_remat=True)
-    b, t, lh, lw = 3, 16, 40, 64
+    b, t, lh, lw = int(os.environ.get("BENCH_BS", "3")), 16, 40, 64
     x = jnp.zeros((b, t, lh, lw, 4))
     ts0 = jnp.zeros((b,), jnp.int32)
     ctx0 = jnp.zeros((b, 77, 1024))
@@ -352,6 +379,8 @@ def train_v2_bench():
             ema_decay=0.95 if use_ema else None,
             fsdp=use_fsdp,
             grads_bf16=grads_bf16,
+            compiler_options=compiler_options,
+            split_step=split_step,
         ),
         loss_fn_override=lambda trainable, batch, key, ema=None: lcd_v2_loss(
             trainable, batch, key, student_apply=apply, target_params=ema,
@@ -402,7 +431,7 @@ def train_v2_bench():
     print(
         json.dumps(
             {
-                "metric": "lcd_v2_train_samples_per_sec_bs3_16f_320x512"
+                "metric": f"lcd_v2_train_samples_per_sec_bs{b}_16f_320x512"
                 + ("_rewards_on" if use_rewards else ""),
                 "value": round(b / step_s, 3),
                 "unit": "samples/sec",
@@ -410,6 +439,8 @@ def train_v2_bench():
                 "ema_target": use_ema,
                 "rewards": use_rewards,
                 "grads_bf16": grads_bf16,
+                "split_step": split_step,
+                "lhs_scheduler": compiler_options is None,
                 "optimizer": "adamw8bit",
                 "unet_params_b": round(n_params / 1e9, 3),
             }

@@ -65,6 +65,10 @@ def parse_args(argv=None):
                    help="bf16 gradient tree (f32 Adam math/update; halves "
                         "grad memory — what fits full-model v2 on one 16 GB "
                         "chip, see TrainerConfig.grads_bf16)")
+    p.add_argument("--split-step", action="store_true",
+                   help="compile grad + optimizer-apply as two programs "
+                        "(lower peak hbm, halves the largest compile; "
+                        "bit-identical to the fused step)")
     # reward feedback (reference --reward_fn_name/--video_rm_name etc.)
     p.add_argument("--reward-fn", default="none",
                    choices=["none", "clip", "hpsv2", "pick", "img_reward"])
@@ -407,6 +411,7 @@ def main(argv=None):
             grad_accum_steps=args.gradient_accumulation_steps,
             fsdp=args.fsdp,
             grads_bf16=args.grads_bf16,
+            split_step=args.split_step,
         ),
         mesh=mesh,
     )

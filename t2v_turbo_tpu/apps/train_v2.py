@@ -59,6 +59,10 @@ def parse_args(argv=None):
                    help="bf16 gradient tree (f32 Adam math/update; halves "
                         "grad memory — what fits full-model v2 on one 16 GB "
                         "chip, see TrainerConfig.grads_bf16)")
+    p.add_argument("--split-step", action="store_true",
+                   help="compile grad + optimizer-apply as two programs "
+                        "(lower peak hbm, halves the largest compile; "
+                        "bit-identical to the fused step)")
     # partial text-encoder unfreeze (reference :127-137,816-830)
     p.add_argument("--train-text-encoder", action="store_true",
                    help="re-encode captions at train time and train the last "
@@ -350,6 +354,7 @@ def main(argv=None):
             grad_accum_steps=args.gradient_accumulation_steps,
             fsdp=args.fsdp,
             grads_bf16=args.grads_bf16,
+            split_step=args.split_step,
         ),
         mesh=make_mesh(seq=args.seq_shards),
         loss_fn_override=loss_override,

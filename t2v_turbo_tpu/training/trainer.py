@@ -77,6 +77,22 @@ class TrainerConfig:
     # grads in test_training.py. Caveat: grad_accum_steps>1 would also
     # accumulate micro-grads in bf16 — prefer f32 grads when accumulating.
     grads_bf16: bool = False
+    # Extra XLA compiler options for the train-step jit (opaque key ->
+    # value, forwarded per-compile). The useful one on memory-marginal
+    # configs is {"xla_tpu_enable_latency_hiding_scheduler": "false"}:
+    # the latency-hiding scheduler overlaps parameter prefetches with
+    # compute, which costs co-live buffers + fragmentation — measured
+    # worth ~1 GB of peak on the full-size v2 step (PERF_NOTES r3). Trade
+    # step time for fitting. None = compiler defaults.
+    compiler_options: Optional[dict] = None
+    # Compile the train step as TWO programs — value_and_grad, then
+    # optimizer-apply — instead of one. Peak HBM drops because the two
+    # programs stop sharing one temp arena (the grad program sheds the
+    # update-math temps and its share of buffer-assignment fragmentation):
+    # what closes the 215 MB gap that OOMs the full-size v2 step at
+    # 15.96 G on a 16 GB v5e (PERF_NOTES r3). Also halves the largest
+    # single compile. Cost: one extra dispatch per step.
+    split_step: bool = False
 
 
 class LCDTrainer:
@@ -211,14 +227,18 @@ class LCDTrainer:
                 video_reward_fn=video_reward_fn,
             )
 
-        def step_fn(state, batch, key, fr):
+        def grad_part(trainable, ema, batch, key, fr):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["trainable"], batch, key, fr, state.get("ema")
+                trainable, batch, key, fr, ema
             )
+            del loss  # already inside metrics
             if cfg.grads_bf16:
                 grads = jax.tree.map(
                     lambda g: g.astype(jnp.bfloat16), grads
                 )
+            return grads, metrics
+
+        def apply_part(state, grads, metrics):
             # squared-sum in f32 regardless of grad dtype (a bf16 reduction
             # over 1e9 elements loses the norm entirely)
             gnorm = jnp.sqrt(
@@ -261,20 +281,58 @@ class LCDTrainer:
             metrics["grad_norm"] = gnorm
             return new_state, metrics
 
+        def step_fn(state, batch, key, fr):
+            grads, metrics = grad_part(
+                state["trainable"], state.get("ema"), batch, key, fr
+            )
+            return apply_part(state, grads, metrics)
+
         # Pin the output state to the input layout: donation then reuses the
         # buffers, and under FSDP this is what makes GSPMD emit the ZeRO
         # pattern (reduce-scatter grads -> sharded update) instead of
         # gathering the update and resharding after. Metrics are scalars,
         # replicated.
         self._state_shardings = jax.tree.map(lambda a: a.sharding, self.state)
-        _jitted_step = jax.jit(
-            step_fn,
-            donate_argnums=(0,),
-            out_shardings=(self._state_shardings, rep),
-        )
+        if cfg.split_step:
+            # Two programs instead of one: the grad program's peak excludes
+            # every optimizer-update temp (and that program's buffer-
+            # assignment fragmentation), and the apply program runs with
+            # params+grads+moments resident but near-zero temps. Costs one
+            # extra dispatch and materializes the grad tree between the
+            # programs (it is materialized inside the fused step too — the
+            # split moves no data, it only un-shares the two programs'
+            # temp arenas). Also halves the largest single XLA compile,
+            # which matters when a remote-compile channel caps wall time.
+            _grad_jit = jax.jit(
+                grad_part, compiler_options=cfg.compiler_options
+            )
+            # donate the grads only when they are f32: an f32 grad buffer
+            # aliases the new param buffer (same shape/dtype), a bf16 one
+            # can alias nothing and would only emit a warning wall — it is
+            # freed after its last in-program use either way
+            _apply_jit = jax.jit(
+                apply_part,
+                donate_argnums=(0,) if cfg.grads_bf16 else (0, 1),
+                out_shardings=(self._state_shardings, rep),
+                compiler_options=cfg.compiler_options,
+            )
 
-        def _step(state, batch, key):
-            return _jitted_step(state, batch, key, self._frozen)
+            def _step(state, batch, key):
+                grads, metrics = _grad_jit(
+                    state["trainable"], state.get("ema"), batch, key,
+                    self._frozen,
+                )
+                return _apply_jit(state, grads, metrics)
+        else:
+            _jitted_step = jax.jit(
+                step_fn,
+                donate_argnums=(0,),
+                out_shardings=(self._state_shardings, rep),
+                compiler_options=cfg.compiler_options,
+            )
+
+            def _step(state, batch, key):
+                return _jitted_step(state, batch, key, self._frozen)
 
         self._step_jit = _step
 

@@ -152,6 +152,43 @@ class TestTrainer:
         )
         assert d < 5e-2
 
+    def test_split_step_equals_fused(self, tmp_path):
+        """TrainerConfig.split_step (grad program + apply program — the
+        final memory lever fitting full-size v2 on one 16 GB chip,
+        bench.py --train-v2) must be numerically IDENTICAL to the fused
+        step: the split moves the program boundary, not the math. Run the
+        full-finetune + EMA + adamw8bit config the lever exists for."""
+        runs = {}
+        for split in (False, True):
+            trainer = build_trainer(
+                tmp_path / f"s{int(split)}",
+                lora_rank=None,
+                ema=0.9,
+                optimizer=make_optimizer("adamw8bit", 1e-4),
+                split_step=split,
+            )
+            it = data_iter()
+            key = jax.random.PRNGKey(3)
+            losses = []
+            for _ in range(3):
+                batch = trainer.shard_batch(next(it))
+                trainer.state, m = trainer._step_jit(trainer.state, batch, key)
+                losses.append(float(m["loss"]))
+            assert float(m["grad_norm"]) > 0
+            runs[split] = (losses, trainer.state)
+
+        lf, sf = runs[False]
+        ls, ss = runs[True]
+        np.testing.assert_allclose(ls, lf, rtol=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(sf["trainable"]), jax.tree.leaves(ss["trainable"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(sf["ema"]), jax.tree.leaves(ss["ema"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_full_finetune_with_ema(self, tmp_path):
         trainer = build_trainer(tmp_path, lora_rank=None, ema=0.9, max_steps=2)
         trainer.run(data_iter())

@@ -131,13 +131,13 @@ def train_bench(rewards: bool = False):
     jax.block_until_ready((sp, tp))
     print(f"# init: {time.time()-t0:.0f}s", file=sys.stderr)
 
-    reward_fn = video_reward_fn = None
+    reward_factory = reward_params = None
     img_dim = vid_dim = 8
     vid_frames = 4
     if rewards:
         rvae, rvae_params = _full_size_vae()
-        reward_fn, video_reward_fn, img_dim, vid_dim, vid_frames = (
-            _full_size_reward_fns(rvae, rvae_params)
+        reward_factory, reward_params, img_dim, vid_dim, vid_frames = (
+            _full_size_reward_stack(rvae, rvae_params)
         )
 
     sched = DiffusionSchedule.create()
@@ -154,10 +154,15 @@ def train_bench(rewards: bool = False):
         sched=sched,
         solver=solver,
         lcd_cfg=LCDConfig(reward_scale=1.0, video_reward_scale=1.0),
-        reward_fn=reward_fn,
-        video_reward_fn=video_reward_fn,
+        reward_fn_factory=reward_factory,
+        reward_params=reward_params,
         optimizer=optax.adamw(1e-5),
-        cfg=TrainerConfig(output_dir="/tmp/bench_train", lora_rank=64),
+        cfg=TrainerConfig(
+            output_dir="/tmp/bench_train",
+            lora_rank=64,
+            # BENCH_SPLIT=1: two-program grad/apply split (see train_v2_bench)
+            split_step=os.environ.get("BENCH_SPLIT", "0") == "1",
+        ),
     )
     rng = np.random.RandomState(0)
     host_batch = {
@@ -208,12 +213,15 @@ def train_bench(rewards: bool = False):
     )
 
 
-def _full_size_reward_fns(rvae, rvae_params, decode_chunk=16):
+def _full_size_reward_stack(rvae, rvae_params, decode_chunk=16):
     """Full-size reward towers with random bf16 weights (identical compute
     to trained ones): ViT-H/14 image RM + ViCLIP-L video RM — the v1
     reference recipe's towers (train_t2v_turbo_v1_lora.py:506-547). Text
     features are precomputed per batch in real training, so the benches
-    feed random (B, D) features and skip the text towers entirely."""
+    feed random (B, D) features and skip the text towers entirely.
+    Returns (reward_fn_factory, reward_params, img_dim, vid_dim,
+    vid_frames): tower params ride the trainer's frozen tree as runtime
+    args, not jit-captured constants (~2.5 GB less proto per compile)."""
     from t2v_turbo_tpu.rewards.reward_fn import ImageRewardModel, VideoRewardModel
     from t2v_turbo_tpu.rewards.vit import (
         VIT_H_14,
@@ -221,25 +229,33 @@ def _full_size_reward_fns(rvae, rvae_params, decode_chunk=16):
         VideoVisionTransformer,
         VisionTransformer,
     )
-    from t2v_turbo_tpu.training.reward_adapters import (
-        make_image_reward_fn,
-        make_video_reward_fn,
-    )
+    from t2v_turbo_tpu.training.reward_adapters import make_reward_fn_factory
+
+    import dataclasses
 
     to_bf16 = lambda t: jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
     )
-    vit = VisionTransformer(cfg=VIT_H_14, dtype=jnp.bfloat16)
-    vvit_cfg = VideoViTConfig()
+    # scan_layers: one lax.scan block body instead of 32/24 unrolled blocks
+    # — identical numerics (tested), ~layers-x smaller tower HLO. This is
+    # what brings the rewards-ON training-graph compiles back inside the
+    # remote-compile channel's reliable window. BENCH_SCAN_TOWERS=0 to
+    # measure the unrolled layout.
+    scan_towers = os.environ.get("BENCH_SCAN_TOWERS", "1") == "1"
+    vit = VisionTransformer(
+        cfg=dataclasses.replace(VIT_H_14, scan_layers=scan_towers),
+        dtype=jnp.bfloat16,
+    )
+    vvit_cfg = dataclasses.replace(VideoViTConfig(), scan_layers=scan_towers)
     vp = jax.jit(lambda k: to_bf16(vit.init(k, jnp.zeros((1, 224, 224, 3)))))(
         jax.random.PRNGKey(11)
     )
     irm = ImageRewardModel(vit, vp, None, None, None)
-    img_fn = make_image_reward_fn(rvae, rvae_params, irm, decode_chunk=decode_chunk)
-    # BENCH_VIDEO_RM=0 drops the ViCLIP tower (image RM only): the two-tower
-    # graph compiles >45 min, past the remote-compile channel's reliable
-    # window — this gives a measurable intermediate recipe point.
-    vid_fn = None
+    # BENCH_VIDEO_RM=0 drops the ViCLIP tower (image RM only): with
+    # unrolled towers the two-tower graph compiled >45 min, past the
+    # remote-compile channel's reliable window; scanned towers are the fix,
+    # the toggle remains for measuring the intermediate recipe point.
+    vrm = None
     if os.environ.get("BENCH_VIDEO_RM", "1") == "1":
         vvit = VideoVisionTransformer(cfg=vvit_cfg, dtype=jnp.bfloat16)
         vvp = jax.jit(
@@ -248,10 +264,11 @@ def _full_size_reward_fns(rvae, rvae_params, decode_chunk=16):
             )
         )(jax.random.PRNGKey(12))
         vrm = VideoRewardModel(vvit, vvp, None, None, None)
-        vid_fn = make_video_reward_fn(
-            rvae, rvae_params, vrm, decode_chunk=decode_chunk
-        )
-    return img_fn, vid_fn, VIT_H_14.output_dim, vvit_cfg.output_dim, vvit_cfg.num_frames
+    factory, reward_params = make_reward_fn_factory(
+        rvae, rvae_params, image_rm=irm, video_rm=vrm, decode_chunk=decode_chunk
+    )
+    return (factory, reward_params, VIT_H_14.output_dim, vvit_cfg.output_dim,
+            vvit_cfg.num_frames)
 
 
 def _full_size_vae():
@@ -336,13 +353,13 @@ def train_v2_bench():
         file=sys.stderr,
     )
 
-    reward_fn = video_reward_fn = None
+    reward_factory = reward_params = None
     img_dim = vid_dim = 8
     vid_frames = 4
     if use_rewards:
         rvae, rvae_params = _full_size_vae()
-        reward_fn, video_reward_fn, img_dim, vid_dim, vid_frames = (
-            _full_size_reward_fns(rvae, rvae_params)
+        reward_factory, reward_params, img_dim, vid_dim, vid_frames = (
+            _full_size_reward_stack(rvae, rvae_params)
         )
 
     sched = DiffusionSchedule.create()
@@ -382,11 +399,14 @@ def train_v2_bench():
             compiler_options=compiler_options,
             split_step=split_step,
         ),
-        loss_fn_override=lambda trainable, batch, key, ema=None: lcd_v2_loss(
+        loss_fn_override=lambda trainable, batch, key, ema=None,
+        reward_fns=(None, None): lcd_v2_loss(
             trainable, batch, key, student_apply=apply, target_params=ema,
             sched=sched, solver=solver, cfg=v2cfg,
-            reward_fn=reward_fn, video_reward_fn=video_reward_fn,
+            reward_fn=reward_fns[0], video_reward_fn=reward_fns[1],
         ),
+        reward_fn_factory=reward_factory,
+        reward_params=reward_params,
     )
 
     rng = np.random.RandomState(0)

@@ -78,6 +78,12 @@ def parse_args(argv=None):
     p.add_argument("--bert-vocab", default=None,
                    help="BERT vocab.txt for the img_reward / vi_clip2 text "
                         "towers (smoke runs fall back to a hash tokenizer)")
+    p.add_argument("--no-scan-towers", action="store_true",
+                   help="lower the CLIP/ViCLIP reward towers unrolled "
+                        "instead of as one scanned block over stacked "
+                        "params (scan is the default: identical numerics, "
+                        "~layers-x smaller HLO and far faster XLA compiles "
+                        "for the rewards-ON training graph)")
     p.add_argument("--reward-scale", type=float, default=1.0)
     p.add_argument("--reward-frames", type=int, default=5,
                    help="random frames scored per sample")
@@ -110,19 +116,19 @@ def build_reward_stack(args, spec):
     """Build the differentiable reward towers from the shared reward CLI
     flags (used by both the v1 and v2 trainer apps; reference flag surface
     train_t2v_turbo_v1_lora.py:506-547 / train_latent_t2v_turbo_v2.py:
-    507-573). Returns (reward_fn, video_reward_fn, reward_models)."""
+    507-573). Returns (reward_fn_factory, reward_params, reward_models):
+    the factory/params pair plugs into LCDTrainer so the tower + reward-VAE
+    param trees ride the jitted step as runtime args (sharded under FSDP)
+    instead of being baked into the program as constants."""
     import jax
     import jax.numpy as jnp
 
     # optional differentiable reward feedback
-    reward_fn = video_reward_fn = None
     reward_models = {}
+    factory = reward_params = None
     if args.reward_fn != "none" or args.video_rm_fn != "none":
         from ..models.vae import AutoencoderKL, VAEConfig
-        from ..training.reward_adapters import (
-            make_image_reward_fn,
-            make_video_reward_fn,
-        )
+        from ..training.reward_adapters import make_reward_fn_factory
 
         dchunk = getattr(args, "vae_decode_batch_size", None) or None
         if spec is not None and args.checkpoint:
@@ -189,12 +195,12 @@ def build_reward_stack(args, spec):
                     head_dims=(8, 1),
                 )
             rm = BlipTrainReward(
-                build_image_reward_blip(weights=weights, **bkw),
+                build_image_reward_blip(
+                    weights=weights, scan_layers=not args.no_scan_towers, **bkw
+                ),
                 tokenizer=bert_tok,
             )
             reward_models["image"] = rm
-            reward_fn = make_image_reward_fn(rvae, rvae_params, rm,
-                                            decode_chunk=dchunk)
         elif args.reward_fn != "none":
             from ..rewards.reward_fn import build_image_reward_model
 
@@ -212,10 +218,10 @@ def build_reward_stack(args, spec):
                     if any(k.startswith("text_model.") for k in sd)
                     else import_openclip_params(sd)
                 )
-            rm = build_image_reward_model(weights=weights, **tiny_kw)
+            rm = build_image_reward_model(
+                weights=weights, scan_layers=not args.no_scan_towers, **tiny_kw
+            )
             reward_models["image"] = rm
-            reward_fn = make_image_reward_fn(rvae, rvae_params, rm,
-                                            decode_chunk=dchunk)
         if args.video_rm_fn == "vi_clip2":
             from ..rewards.blip import BertConfig
             from ..rewards.internvideo2 import (
@@ -249,13 +255,13 @@ def build_reward_stack(args, spec):
                     embed_dim=16,
                 )
             vrm = InternVideo2TrainReward(
-                build_internvideo2_reward(weights=weights, **ikw),
+                build_internvideo2_reward(
+                    weights=weights, scan_layers=not args.no_scan_towers, **ikw
+                ),
                 tokenizer=bert_tok,
                 image_size=28 if args.tiny_model else 224,
             )
             reward_models["video"] = vrm
-            video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm,
-                                                  decode_chunk=dchunk)
         elif args.video_rm_fn != "none":
             from ..rewards.reward_fn import build_video_reward_model
 
@@ -277,11 +283,17 @@ def build_reward_stack(args, spec):
                                            output_dim=16, num_frames=8),
                     text_cfg=tiny_kw["text_cfg"],
                 )
-            vrm = build_video_reward_model(weights=weights, **vtiny)
+            vrm = build_video_reward_model(
+                weights=weights, scan_layers=not args.no_scan_towers, **vtiny
+            )
             reward_models["video"] = vrm
-            video_reward_fn = make_video_reward_fn(rvae, rvae_params, vrm,
-                                                  decode_chunk=dchunk)
-    return reward_fn, video_reward_fn, reward_models
+        factory, reward_params = make_reward_fn_factory(
+            rvae, rvae_params,
+            image_rm=reward_models.get("image"),
+            video_rm=reward_models.get("video"),
+            decode_chunk=dchunk,
+        )
+    return factory, reward_params, reward_models
 
 
 def main(argv=None):
@@ -371,7 +383,7 @@ def main(argv=None):
                                ddim_timesteps=args.num_ddim_timesteps)
     mesh = make_mesh(seq=args.seq_shards)
 
-    reward_fn, video_reward_fn, reward_models = build_reward_stack(args, spec)
+    reward_factory, reward_params, reward_models = build_reward_stack(args, spec)
 
     trainer = LCDTrainer(
         student_apply=lambda p, z, t, c, fps=None, timestep_cond=None: student.apply(
@@ -392,8 +404,8 @@ def main(argv=None):
             reward_scale=args.reward_scale,
             video_reward_scale=args.video_reward_scale,
         ),
-        reward_fn=reward_fn,
-        video_reward_fn=video_reward_fn,
+        reward_fn_factory=reward_factory,
+        reward_params=reward_params,
         optimizer=make_optimizer(args.optimizer, args.learning_rate),
         cfg=TrainerConfig(
             output_dir=args.output_dir,
@@ -417,7 +429,7 @@ def main(argv=None):
     )
 
     data = make_data_iter(args, ctx_dim, lat_hw, frames_eff, b, spec)
-    if reward_fn is not None or video_reward_fn is not None:
+    if reward_factory is not None:
         data = add_reward_fields(
             data, args, frames_eff, b,
             reward_models.get("image"), reward_models.get("video"),

@@ -78,6 +78,8 @@ def parse_args(argv=None):
     p.add_argument("--bert-vocab", default=None,
                    help="BERT vocab.txt for the img_reward / vi_clip2 text "
                         "towers (smoke runs fall back to a hash tokenizer)")
+    p.add_argument("--no-scan-towers", action="store_true",
+                   help="unrolled reward towers (see train_v1)")
     p.add_argument("--reward-scale", type=float, default=1.0)
     p.add_argument("--reward-frames", type=int, default=2,
                    help="frames scored per selected sample (reference "
@@ -303,9 +305,9 @@ def main(argv=None):
             motion_cond=motion_cond,
         )
 
-    reward_fn, video_reward_fn, reward_models = build_reward_stack(args, spec)
+    reward_factory, reward_params, reward_models = build_reward_stack(args, spec)
 
-    def loss_override(trainable, batch, key, ema=None):
+    def loss_override(trainable, batch, key, ema=None, reward_fns=(None, None)):
         if args.train_text_encoder:
             unet_tr = trainable["unet"]
             ctx = text_model.apply(trainable["text"], batch["tokens"])
@@ -321,8 +323,8 @@ def main(argv=None):
             student_apply=apply,
             target_params=target,
             sched=sched, solver=solver, cfg=v2cfg,
-            reward_fn=reward_fn,
-            video_reward_fn=video_reward_fn,
+            reward_fn=reward_fns[0],
+            video_reward_fn=reward_fns[1],
         )
 
     # Adapt LCDTrainer to the v2 loss by overriding its loss closure: the
@@ -358,11 +360,13 @@ def main(argv=None):
         ),
         mesh=make_mesh(seq=args.seq_shards),
         loss_fn_override=loss_override,
+        reward_fn_factory=reward_factory,
+        reward_params=reward_params,
     )
 
     def data_iter():
         base = ds.batches(args.batch_size)
-        if reward_fn is not None or video_reward_fn is not None:
+        if reward_factory is not None:
             base = add_v2_reward_fields(
                 base, args, reward_models.get("image"),
                 reward_models.get("video"),

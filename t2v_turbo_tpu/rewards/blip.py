@@ -39,6 +39,7 @@ class BlipViTConfig:
     layers: int = 24
     heads: int = 16
     mlp_ratio: int = 4
+    scan_layers: bool = False
 
 
 class BlipViTBlock(nn.Module):
@@ -65,6 +66,23 @@ class BlipViTBlock(nn.Module):
         return x
 
 
+class _BlipBlockStep(nn.Module):
+    """scan body around one BlipViTBlock (see rewards/vit.py::_run_blocks)."""
+
+    width: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = BlipViTBlock(
+            self.width, self.heads, self.mlp_ratio, dtype=self.dtype,
+            name="block",
+        )(x)
+        return x, None
+
+
 class BlipViT(nn.Module):
     cfg: BlipViTConfig = BlipViTConfig()
     dtype: Any = jnp.float32
@@ -88,11 +106,20 @@ class BlipViT(nn.Module):
             [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, cfg.width)), x], axis=1
         )
         x = x + pos.astype(x.dtype)
-        for i in range(cfg.layers):
-            x = BlipViTBlock(
-                cfg.width, cfg.heads, cfg.mlp_ratio, dtype=self.dtype,
-                name=f"layers_{i}",
-            )(x)
+        if cfg.scan_layers:
+            x, _ = nn.scan(
+                _BlipBlockStep,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.layers,
+            )(cfg.width, cfg.heads, cfg.mlp_ratio, dtype=self.dtype,
+              name="layers")(x, None)
+        else:
+            for i in range(cfg.layers):
+                x = BlipViTBlock(
+                    cfg.width, cfg.heads, cfg.mlp_ratio, dtype=self.dtype,
+                    name=f"layers_{i}",
+                )(x)
         return LayerNorm(name="post_layernorm")(x)
 
 
@@ -234,6 +261,24 @@ class ImageRewardModel:
     def __call__(self, images, token_ids, mask=None):
         return self.score(images, token_ids, mask)
 
+    # the whole model (ViT + cross-BERT + head) sits on the in-jit scoring
+    # path — unlike CLIP rewards, BLIP's text branch consumes image states
+    @property
+    def grad_path_params(self):
+        return {
+            "vit": self.vit_params,
+            "bert": self.bert_params,
+            "head": self.head_params,
+        }
+
+    def with_grad_path_params(self, tree):
+        return dataclasses.replace(
+            self,
+            vit_params=tree["vit"],
+            bert_params=tree["bert"],
+            head_params=tree["head"],
+        )
+
 
 def build_image_reward_blip(
     vit_cfg: BlipViTConfig = BlipViTConfig(),
@@ -242,7 +287,10 @@ def build_image_reward_blip(
     weights: Optional[dict] = None,
     tokenizer=None,
     seed: int = 0,
+    scan_layers: Optional[bool] = None,
 ) -> ImageRewardModel:
+    if scan_layers is not None and scan_layers != vit_cfg.scan_layers:
+        vit_cfg = dataclasses.replace(vit_cfg, scan_layers=scan_layers)
     vit = BlipViT(cfg=vit_cfg)
     bert = BertCrossEncoder(cfg=bert_cfg)
     if weights is None:
@@ -262,7 +310,12 @@ def build_image_reward_blip(
             for i in range(len(head_dims))
         ]
     else:
-        vp = {"params": weights["vit"]}
+        vw = weights["vit"]
+        if vit_cfg.scan_layers and "layers_0" in vw:
+            from .vit import stack_params_by_prefix
+
+            vw = stack_params_by_prefix(vw, "layers", vit_cfg.layers)
+        vp = {"params": vw}
         bp = {"params": weights["bert"]}
         head = weights["head"]
     return ImageRewardModel(vit, vp, bert, bp, head, tokenizer,

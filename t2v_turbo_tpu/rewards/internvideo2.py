@@ -73,6 +73,7 @@ class IV2VisionConfig:
     clip_embed_dim: int = 768
     attn_pool_heads: int = 16
     qk_normalization: bool = True
+    scan_layers: bool = False
 
 
 class IV2Block(nn.Module):
@@ -103,6 +104,20 @@ class IV2Block(nn.Module):
         h = gelu_exact(h)
         h = nn.Dense(c.width, dtype=self.dtype, name="fc2")(h)
         return x + LayerScale(name="ls2")(h)
+
+
+class _IV2BlockStep(nn.Module):
+    """scan body around one IV2Block (see rewards/vit.py::_run_blocks for
+    why: one lowered block body + stacked params instead of depth=40
+    unrolled blocks — same numerics, ~40x smaller tower HLO, which keeps
+    the vi_clip2 rewards-ON training graph compilable)."""
+
+    cfg: IV2VisionConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        return IV2Block(self.cfg, dtype=self.dtype, name="block")(x), None
 
 
 class AttentionPooling(nn.Module):
@@ -156,8 +171,16 @@ class IV2VisionEncoder(nn.Module):
             [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, c.width)), x], axis=1
         )
         x = x + pos[:, : x.shape[1]].astype(x.dtype)
-        for i in range(c.depth):
-            x = IV2Block(c, dtype=self.dtype, name=f"blocks_{i}")(x)
+        if c.scan_layers:
+            x, _ = nn.scan(
+                _IV2BlockStep,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.depth,
+            )(c, dtype=self.dtype, name="blocks")(x, None)
+        else:
+            for i in range(c.depth):
+                x = IV2Block(c, dtype=self.dtype, name=f"blocks_{i}")(x)
         return AttentionPooling(
             c.width, c.attn_pool_heads, c.clip_embed_dim, dtype=self.dtype,
             name="clip_projector",
@@ -206,6 +229,15 @@ class InternVideo2RewardModel:
     def __call__(self, videos, texts):
         return self.score(videos, self.encode_texts(texts))
 
+    @property
+    def grad_path_params(self):
+        return {"vision": self.vision_params, "vision_proj": self.vision_proj}
+
+    def with_grad_path_params(self, tree):
+        return dataclasses.replace(
+            self, vision_params=tree["vision"], vision_proj=tree["vision_proj"]
+        )
+
 
 def build_internvideo2_reward(
     vision_cfg: IV2VisionConfig = IV2VisionConfig(),
@@ -214,7 +246,10 @@ def build_internvideo2_reward(
     weights: Optional[dict] = None,
     tokenizer=None,
     seed: int = 0,
+    scan_layers: Optional[bool] = None,
 ) -> InternVideo2RewardModel:
+    if scan_layers is not None and scan_layers != vision_cfg.scan_layers:
+        vision_cfg = dataclasses.replace(vision_cfg, scan_layers=scan_layers)
     vision = IV2VisionEncoder(cfg=vision_cfg)
     text = BertCrossEncoder(cfg=text_cfg)
     if weights is None:
@@ -235,7 +270,12 @@ def build_internvideo2_reward(
             "bias": jnp.zeros((embed_dim,)),
         }
     else:
-        vp = {"params": weights["vision"]}
+        vw = weights["vision"]
+        if vision_cfg.scan_layers and "blocks_0" in vw:
+            from .vit import stack_params_by_prefix
+
+            vw = stack_params_by_prefix(vw, "blocks", vision_cfg.depth)
+        vp = {"params": vw}
         tp = {"params": weights["text"]}
         vproj, tproj = weights["vision_proj"], weights["text_proj"]
     return InternVideo2RewardModel(vision, vp, text, tp, vproj, tproj, tokenizer)

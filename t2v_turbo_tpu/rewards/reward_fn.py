@@ -119,6 +119,16 @@ class ImageRewardModel:
     def __call__(self, images, texts):
         return self.score(images, self.encode_texts(texts))
 
+    # Param trees on the in-jit scoring path (text runs host-side /
+    # precomputed). The trainer threads these through the step as runtime
+    # args (LCDTrainer reward_fn_factory) instead of closure constants.
+    @property
+    def grad_path_params(self):
+        return {"vision": self.vision_params}
+
+    def with_grad_path_params(self, tree):
+        return dataclasses.replace(self, vision_params=tree["vision"])
+
 
 @dataclasses.dataclass
 class VideoRewardModel:
@@ -148,6 +158,13 @@ class VideoRewardModel:
     def __call__(self, videos, texts):
         return self.score(videos, self.encode_texts(texts))
 
+    @property
+    def grad_path_params(self):
+        return {"vision": self.vision_params}
+
+    def with_grad_path_params(self, tree):
+        return dataclasses.replace(self, vision_params=tree["vision"])
+
 
 # ---------------------------------------------------------------------------
 # factory
@@ -170,10 +187,18 @@ def build_image_reward_model(
     text_cfg: CLIPTextConfig = OPEN_CLIP_H14_TEXT,
     dtype=jnp.float32,
     seed: int = 0,
+    scan_layers: Optional[bool] = None,
 ) -> ImageRewardModel:
     """weights: {'visual': ..., 'text': ..., 'logit_scale': float} param trees
     from io.torch_import.import_openclip_params, or None for random init
-    (tests/smoke)."""
+    (tests/smoke). `scan_layers=True` lowers the vision tower as ONE scanned
+    block over stacked params (same numerics, ~layers-x smaller HLO — use
+    when the tower sits inside a training graph); imported per-layer
+    checkpoints are restacked automatically."""
+    if scan_layers is not None and scan_layers != vit_cfg.scan_layers:
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(vit_cfg, scan_layers=scan_layers)
     vision = VisionTransformer(cfg=vit_cfg, dtype=dtype)
     text = CLIPTextPooled(cfg=text_cfg, proj_dim=vit_cfg.output_dim, dtype=dtype)
     if weights is None:
@@ -182,7 +207,12 @@ def build_image_reward_model(
         tp = text.init(k2, jnp.zeros((1, text_cfg.context_length), jnp.int32))
         scale = 100.0
     else:
-        vp = {"params": weights["visual"]}
+        visual = weights["visual"]
+        if vit_cfg.scan_layers and "resblocks_0" in visual:
+            from .vit import stack_tower_layers
+
+            visual = stack_tower_layers(visual, vit_cfg.layers)
+        vp = {"params": visual}
         tp = {"params": weights["text"]}
         scale = float(np.exp(weights.get("logit_scale", np.log(100.0))))
     if tokenizer is None:
@@ -199,7 +229,12 @@ def build_video_reward_model(
     text_cfg: CLIPTextConfig = VICLIP_TEXT,
     dtype=jnp.float32,
     seed: int = 0,
+    scan_layers: Optional[bool] = None,
 ) -> VideoRewardModel:
+    if scan_layers is not None and scan_layers != vit_cfg.scan_layers:
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(vit_cfg, scan_layers=scan_layers)
     vision = VideoVisionTransformer(cfg=vit_cfg, dtype=dtype)
     text = CLIPTextPooled(cfg=text_cfg, proj_dim=vit_cfg.output_dim, dtype=dtype)
     if weights is None:
@@ -210,7 +245,12 @@ def build_video_reward_model(
         )
         tp = text.init(k2, jnp.zeros((1, text_cfg.context_length), jnp.int32))
     else:
-        vp = {"params": weights["visual"]}
+        visual = weights["visual"]
+        if vit_cfg.scan_layers and "resblocks_0" in visual:
+            from .vit import stack_tower_layers
+
+            visual = stack_tower_layers(visual, vit_cfg.layers)
+        vp = {"params": visual}
         tp = {"params": weights["text"]}
     if tokenizer is None:
         from ..utils.tokenizer import CLIPTokenizer
@@ -269,6 +309,17 @@ class BlipTrainReward:
         r = self.rm.score(px, token_ids, mask)
         return -jax.nn.relu(-r + 2.0)  # reference reward_fn.py:172
 
+    @property
+    def grad_path_params(self):
+        return self.rm.grad_path_params
+
+    def with_grad_path_params(self, tree):
+        import copy
+
+        new = copy.copy(self)
+        new.rm = self.rm.with_grad_path_params(tree)
+        return new
+
 
 class InternVideo2TrainReward:
     """Training-loop facade over rewards.internvideo2.InternVideo2RewardModel
@@ -294,6 +345,17 @@ class InternVideo2TrainReward:
             videos, size=self.image_size, mean=VICLIP_MEAN, std=VICLIP_STD
         )
         return self.rm.score(px, text_feats)
+
+    @property
+    def grad_path_params(self):
+        return self.rm.grad_path_params
+
+    def with_grad_path_params(self, tree):
+        import copy
+
+        new = copy.copy(self)
+        new.rm = self.rm.with_grad_path_params(tree)
+        return new
 
 
 def get_reward_fn(name: str, weights: Optional[dict] = None, **kw) -> Callable:

@@ -56,6 +56,79 @@ class ViTBlock(nn.Module):
         return x
 
 
+class _BlockStep(nn.Module):
+    """scan body: (carry, None) -> (carry, None) around one ViTBlock."""
+
+    width: int
+    heads: int
+    quick_gelu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = ViTBlock(
+            self.width, self.heads, self.quick_gelu, dtype=self.dtype,
+            name="block",
+        )(x)
+        return x, None
+
+
+def _run_blocks(x, cfg, dtype):
+    """The transformer stack, unrolled or as one lax.scan over layers.
+
+    `cfg.scan_layers=True` stacks the per-layer params on a leading axis
+    under a single `resblocks` scope and lowers ONE block body — the HLO
+    for the tower shrinks ~layers-x and so does XLA compile time, which is
+    what makes the rewards-ON training graphs (UNet + VAE decode + two
+    towers, all with backward) compilable inside a bounded remote-compile
+    window. Numerics are identical: the same blocks run in the same order.
+    Use `stack_tower_layers` to convert imported per-layer checkpoints.
+    """
+    if not cfg.scan_layers:
+        for i in range(cfg.layers):
+            x = ViTBlock(
+                cfg.width, cfg.heads, cfg.quick_gelu, dtype=dtype,
+                name=f"resblocks_{i}",
+            )(x)
+        return x
+    blocks = nn.scan(
+        _BlockStep,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=cfg.layers,
+    )(cfg.width, cfg.heads, cfg.quick_gelu, dtype=dtype, name="resblocks")
+    x, _ = blocks(x, None)
+    return x
+
+
+def stack_params_by_prefix(params: dict, prefix: str, layers: int) -> dict:
+    """Convert per-layer `{prefix}_{i}/...` param subtrees to the scanned
+    layout `{prefix}/block/...` with a leading layer axis."""
+    p = dict(params)
+    per = [p.pop(f"{prefix}_{i}") for i in range(layers)]
+    p[prefix] = {"block": jax.tree.map(lambda *xs: jnp.stack(xs, 0), *per)}
+    return p
+
+
+def unstack_params_by_prefix(params: dict, prefix: str, layers: int) -> dict:
+    p = dict(params)
+    stacked = p.pop(prefix)["block"]
+    for i in range(layers):
+        p[f"{prefix}_{i}"] = jax.tree.map(lambda a, i=i: a[i], stacked)
+    return p
+
+
+def stack_tower_layers(params: dict, layers: int) -> dict:
+    """Convert a per-layer CLIP tower param tree (`resblocks_{i}/...`) to the
+    `scan_layers=True` layout (`resblocks/block/...` with a leading layer
+    axis). Inverse: `unstack_tower_layers`."""
+    return stack_params_by_prefix(params, "resblocks", layers)
+
+
+def unstack_tower_layers(params: dict, layers: int) -> dict:
+    return unstack_params_by_prefix(params, "resblocks", layers)
+
+
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
     image_size: int = 224
@@ -65,6 +138,7 @@ class ViTConfig:
     heads: int = 16
     output_dim: int = 1024
     quick_gelu: bool = False
+    scan_layers: bool = False
 
 
 VIT_H_14 = ViTConfig()  # open_clip ViT-H/14 (HPSv2 / CLIP-H / PickScore)
@@ -108,11 +182,7 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos.astype(x.dtype)
         x = LayerNorm(name="ln_pre")(x)
-        for i in range(cfg.layers):
-            x = ViTBlock(
-                cfg.width, cfg.heads, cfg.quick_gelu, dtype=self.dtype,
-                name=f"resblocks_{i}",
-            )(x)
+        x = _run_blocks(x, cfg, self.dtype)
         if return_tokens:
             return x
         x = LayerNorm(name="ln_post")(x[:, 0])
@@ -132,6 +202,7 @@ class VideoViTConfig:
     output_dim: int = 768
     num_frames: int = 8
     quick_gelu: bool = True  # ViCLIP uses QuickGELU (viclip_vision.py:53)
+    scan_layers: bool = False
 
 
 class VideoVisionTransformer(nn.Module):
@@ -181,11 +252,7 @@ class VideoVisionTransformer(nn.Module):
         cls_tok = jnp.broadcast_to(cls + pos[0], (b, 1, cfg.width))
         xx = jnp.concatenate([cls_tok, xf], axis=1)
         xx = LayerNorm(name="ln_pre")(xx)
-        for i in range(cfg.layers):
-            xx = ViTBlock(
-                cfg.width, cfg.heads, cfg.quick_gelu, dtype=self.dtype,
-                name=f"resblocks_{i}",
-            )(xx)
+        xx = _run_blocks(xx, cfg, self.dtype)
         feat = LayerNorm(name="ln_post")(xx[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (cfg.width, cfg.output_dim)

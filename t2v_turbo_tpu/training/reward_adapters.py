@@ -100,6 +100,54 @@ def make_video_reward_fn(
     return reward_fn
 
 
+def make_reward_fn_factory(
+    vae,
+    vae_params,
+    image_rm=None,
+    video_rm=None,
+    scale_factor: float = 0.18215,
+    decode_chunk: Optional[int] = None,
+):
+    """Build `(factory, reward_params)` for
+    `LCDTrainer(reward_fn_factory=factory, reward_params=reward_params)`.
+
+    The plain `make_image_reward_fn`/`make_video_reward_fn` closures capture
+    the VAE + tower param trees, which jit bakes into the lowered program as
+    constants — gigabytes of serialized proto per compile at full size, and
+    any sharding on them is lost. This factory instead exposes those trees
+    as `reward_params` (the trainer threads them through the step as runtime
+    args, under `frozen["rewards"]`, where FSDP shards them like every other
+    frozen tower) and rebuilds the reward closures INSIDE the traced loss
+    over the tracer subtree via each model's `with_grad_path_params`."""
+    reward_params = {"vae": vae_params}
+    if image_rm is not None:
+        reward_params["image"] = image_rm.grad_path_params
+    if video_rm is not None:
+        reward_params["video"] = video_rm.grad_path_params
+
+    def factory(rp):
+        rf = vrf = None
+        if image_rm is not None:
+            rf = make_image_reward_fn(
+                vae,
+                rp["vae"],
+                image_rm.with_grad_path_params(rp["image"]),
+                scale_factor=scale_factor,
+                decode_chunk=decode_chunk,
+            )
+        if video_rm is not None:
+            vrf = make_video_reward_fn(
+                vae,
+                rp["vae"],
+                video_rm.with_grad_path_params(rp["video"]),
+                scale_factor=scale_factor,
+                decode_chunk=decode_chunk,
+            )
+        return rf, vrf
+
+    return factory, reward_params
+
+
 def sample_frame_indices(
     rng, batch_size: int, total_frames: int, n_frames: int, strided: bool = False
 ):

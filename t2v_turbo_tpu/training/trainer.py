@@ -112,10 +112,25 @@ class LCDTrainer:
         reward_fn=None,
         video_reward_fn=None,
         loss_fn_override=None,
+        reward_params=None,
+        reward_fn_factory=None,
     ):
         """loss_fn_override(trainable, batch, key, ema=None) -> (loss, metrics)
         replaces the built-in v1 LCD loss — the v2 latent trainer plugs
-        lcd_v2_loss in this way (its target network is the EMA state)."""
+        lcd_v2_loss in this way (its target network is the EMA state).
+
+        reward_params/reward_fn_factory: pass the reward towers' param trees
+        (VAE + vision towers) as RUNTIME arguments instead of the closure
+        capture `reward_fn`/`video_reward_fn` imply. Closure-captured trees
+        are baked into the lowered program as constants — gigabytes of
+        proto per compile at full size (the same pathology fixed for
+        teacher/frozen-student above) — and lose any sharding. With a
+        factory, `reward_params` joins the `frozen` tree (so FSDP shards it
+        like every other frozen tower) and the factory is called INSIDE the
+        traced loss with the (tracer) subtree:
+            reward_fn_factory(rparams) -> (reward_fn, video_reward_fn)
+        When a factory is given, `loss_fn_override` is called with an extra
+        `reward_fns=(rf, vrf)` keyword."""
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         accum = max(1, cfg.grad_accum_steps)
@@ -142,6 +157,13 @@ class LCDTrainer:
         # them is lost). As runtime inputs they keep their device placement
         # and shardings (e.g. TP layouts from shard_params_tp).
         frozen = {"teacher": teacher_params}
+        if reward_fn_factory is not None:
+            if reward_params is None:
+                raise ValueError(
+                    "reward_fn_factory requires reward_params (the tower "
+                    "param trees it will be called with)"
+                )
+            frozen["rewards"] = reward_params
         if use_lora:
             lora_cfg = LoRAConfig(
                 rank=cfg.lora_rank, scale=cfg.lora_scale, target=cfg.lora_target
@@ -211,8 +233,16 @@ class LCDTrainer:
         self._frozen = commit(self._frozen, frozen_sh)
 
         def loss_fn(trainable, batch, key, fr, ema=None):
+            rf, vrf = reward_fn, video_reward_fn
+            if reward_fn_factory is not None:
+                rf, vrf = reward_fn_factory(fr["rewards"])
             if loss_fn_override is not None:
-                return loss_fn_override(trainable, batch, key, ema=ema)
+                kw = (
+                    {"reward_fns": (rf, vrf)}
+                    if reward_fn_factory is not None
+                    else {}
+                )
+                return loss_fn_override(trainable, batch, key, ema=ema, **kw)
             return lcd_loss(
                 trainable,
                 batch,
@@ -223,8 +253,8 @@ class LCDTrainer:
                 sched=sched,
                 solver=solver,
                 cfg=lcd_cfg,
-                reward_fn=reward_fn,
-                video_reward_fn=video_reward_fn,
+                reward_fn=rf,
+                video_reward_fn=vrf,
             )
 
         def grad_part(trainable, ema, batch, key, fr):

@@ -196,3 +196,139 @@ class TestTrainFacades:
         assert s.shape == (2,)
         g = jax.grad(lambda v: rm.score(v, tf).sum())(vids)
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestScanLayers:
+    """scan_layers=True lowers one block body via lax.scan over stacked
+    params — must match the unrolled tower exactly (same blocks, same
+    order; only the HLO size changes)."""
+
+    def test_vit_scan_matches_unrolled(self):
+        import dataclasses
+
+        from t2v_turbo_tpu.rewards.vit import (
+            VisionTransformer,
+            stack_tower_layers,
+            unstack_tower_layers,
+        )
+
+        vit = VisionTransformer(cfg=TINY_VIT)
+        p = vit.init(jax.random.PRNGKey(0), jnp.zeros((2, 28, 28, 3)))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 3))
+        ref = vit.apply(p, x)
+
+        scfg = dataclasses.replace(TINY_VIT, scan_layers=True)
+        svit = VisionTransformer(cfg=scfg)
+        sp = {"params": stack_tower_layers(p["params"], TINY_VIT.layers)}
+        got = svit.apply(sp, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+        # round-trip back to the per-layer layout
+        rt = unstack_tower_layers(sp["params"], TINY_VIT.layers)
+        chex = jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            rt, p["params"],
+        )
+        del chex
+
+        # init in the scanned layout directly has the stacked shapes
+        ip = svit.init(jax.random.PRNGKey(2), jnp.zeros((1, 28, 28, 3)))
+        ln1 = ip["params"]["resblocks"]["block"]["ln_1"]["scale"]
+        assert ln1.shape == (TINY_VIT.layers, TINY_VIT.width)
+
+    def test_video_vit_scan_matches_unrolled(self):
+        import dataclasses
+
+        from t2v_turbo_tpu.rewards.vit import (
+            VideoVisionTransformer,
+            stack_tower_layers,
+        )
+
+        vvit = VideoVisionTransformer(cfg=TINY_VVIT)
+        p = vvit.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 28, 28, 3)))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 28, 28, 3))
+        ref = vvit.apply(p, x)
+
+        scfg = dataclasses.replace(TINY_VVIT, scan_layers=True)
+        sp = {"params": stack_tower_layers(p["params"], TINY_VVIT.layers)}
+        got = VideoVisionTransformer(cfg=scfg).apply(sp, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_scan_grads_flow(self):
+        import dataclasses
+
+        from t2v_turbo_tpu.rewards.vit import VisionTransformer
+
+        scfg = dataclasses.replace(TINY_VIT, scan_layers=True)
+        svit = VisionTransformer(cfg=scfg)
+        p = svit.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)))
+        x = jnp.full((2, 28, 28, 3), 0.5)
+        g = jax.grad(lambda im: svit.apply(p, im).sum())(x)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_iv2_scan_matches_unrolled(self):
+        import dataclasses
+
+        from t2v_turbo_tpu.rewards.internvideo2 import (
+            IV2VisionConfig, IV2VisionEncoder,
+        )
+        from t2v_turbo_tpu.rewards.vit import stack_params_by_prefix
+
+        cfg = IV2VisionConfig(img_size=28, patch_size=14, width=32, depth=3,
+                              heads=4, mlp_hidden=64, num_frames=4,
+                              clip_embed_dim=16, attn_pool_heads=4)
+        enc = IV2VisionEncoder(cfg=cfg)
+        p = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 28, 28, 3)))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 28, 28, 3))
+        ref = enc.apply(p, x)
+
+        scfg = dataclasses.replace(cfg, scan_layers=True)
+        sp = {"params": stack_params_by_prefix(p["params"], "blocks", cfg.depth)}
+        got = IV2VisionEncoder(cfg=scfg).apply(sp, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_blip_scan_matches_unrolled(self):
+        import dataclasses
+
+        from t2v_turbo_tpu.rewards.blip import BlipViT, BlipViTConfig
+        from t2v_turbo_tpu.rewards.vit import stack_params_by_prefix
+
+        cfg = BlipViTConfig(image_size=28, patch_size=14, width=32, layers=3,
+                            heads=4)
+        vit = BlipViT(cfg=cfg)
+        p = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 3))
+        ref = vit.apply(p, x)
+
+        scfg = dataclasses.replace(cfg, scan_layers=True)
+        sp = {"params": stack_params_by_prefix(p["params"], "layers", cfg.layers)}
+        got = BlipViT(cfg=scfg).apply(sp, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_builder_restacks_imported_weights(self):
+        """build_image_reward_model(weights=..., scan_layers=True) restacks a
+        per-layer imported tree automatically."""
+        from t2v_turbo_tpu.rewards.reward_fn import build_image_reward_model
+        from t2v_turbo_tpu.models.clip_text import CLIPTextConfig
+
+        text_cfg = CLIPTextConfig(vocab_size=60, width=32, heads=4, layers=2,
+                                  context_length=8, penultimate=False)
+        base = build_image_reward_model(
+            vit_cfg=TINY_VIT, text_cfg=text_cfg, tokenizer=FakeTok()
+        )
+        weights = {
+            "visual": base.vision_params["params"],
+            "text": base.text_params["params"],
+            "logit_scale": float(np.log(base.logit_scale)),
+        }
+        rm = build_image_reward_model(
+            weights=weights, vit_cfg=TINY_VIT, text_cfg=text_cfg,
+            tokenizer=FakeTok(), scan_layers=True,
+        )
+        imgs = jnp.full((2, 28, 28, 3), 0.3)
+        tf = base.encode_texts(["a cat", "a dog"])
+        np.testing.assert_allclose(
+            np.asarray(rm.score(imgs, tf)),
+            np.asarray(base.score(imgs, tf)),
+            atol=1e-5,
+        )

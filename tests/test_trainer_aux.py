@@ -199,3 +199,126 @@ class TestChunkedDecode:
         np.testing.assert_allclose(
             np.asarray(g_chunk), np.asarray(g_full), rtol=2e-4, atol=1e-5
         )
+
+
+class TestRewardParamsAsArgs:
+    """LCDTrainer(reward_fn_factory=..., reward_params=...) threads the
+    reward towers through the jitted step as runtime args (under
+    frozen['rewards']) instead of closure-captured jit constants — at full
+    size the constants cost gigabytes of serialized proto per compile.
+    The two forms must be numerically identical."""
+
+    def test_factory_step_equals_closure_step(self, tmp_path):
+        from tinymodels import tiny_student_pair
+
+        from t2v_turbo_tpu.models.clip_text import CLIPTextConfig
+        from t2v_turbo_tpu.parallel.mesh import make_mesh
+        from t2v_turbo_tpu.rewards.reward_fn import (
+            build_image_reward_model,
+            build_video_reward_model,
+        )
+        from t2v_turbo_tpu.rewards.vit import VideoViTConfig, ViTConfig
+        from t2v_turbo_tpu.training.optim import make_optimizer
+        from t2v_turbo_tpu.training.reward_adapters import (
+            make_reward_fn_factory,
+        )
+        from t2v_turbo_tpu.training.trainer import LCDTrainer, TrainerConfig
+
+        tvit = ViTConfig(image_size=28, patch_size=14, width=32, layers=2,
+                         heads=4, output_dim=16)
+        tvvit = VideoViTConfig(image_size=28, patch_size=14, width=32,
+                               layers=2, heads=4, output_dim=16, num_frames=4)
+        ttxt = CLIPTextConfig(vocab_size=60, width=32, heads=4, layers=2,
+                              context_length=8, penultimate=False)
+        irm = build_image_reward_model(vit_cfg=tvit, text_cfg=ttxt,
+                                       tokenizer=lambda t: np.zeros((len(t), 8), np.int32))
+        vrm = build_video_reward_model(vit_cfg=tvvit, text_cfg=ttxt,
+                                       tokenizer=lambda t: np.zeros((len(t), 8), np.int32))
+        vae = AutoencoderKL(cfg=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1))
+        vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+
+        student, sp, teacher, tp = tiny_student_pair()
+        sched = DiffusionSchedule.create()
+        solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+
+        def batch_iter():
+            rng = np.random.RandomState(0)
+            b, t = 8, 4
+            while True:
+                yield {
+                    "latents": rng.randn(b, t, 8, 8, 4).astype(np.float32),
+                    "ctx": rng.randn(b, 7, 16).astype(np.float32),
+                    "uncond_ctx": np.zeros((b, 7, 16), np.float32),
+                    "fps": np.full((b,), 16.0, np.float32),
+                    "reward_frame_idx": sample_frame_indices(rng, b, t, 2),
+                    "reward_text_feats": rng.randn(b, 16).astype(np.float32),
+                    "reward_mask": np.ones((b,), np.float32),
+                    "video_frame_idx": sample_frame_indices(rng, b, t, 2,
+                                                            strided=True),
+                    "video_text_feats": rng.randn(b, 16).astype(np.float32),
+                    "video_reward_mask": np.ones((b,), np.float32),
+                }
+
+        def build(reward_kw, out):
+            return LCDTrainer(
+                student_apply=lambda p, z, t, c, fps=None, timestep_cond=None:
+                    student.apply(p, z, t, c, fps=fps,
+                                  timestep_cond=timestep_cond),
+                teacher_apply=lambda p, z, t, c, fps=None: teacher.apply(
+                    p, z, t, c, fps=fps),
+                teacher_params=tp,
+                student_params=sp,
+                sched=sched,
+                solver=solver,
+                lcd_cfg=LCDConfig(w_embedding_dim=8, reward_scale=0.5,
+                                  video_reward_scale=0.2),
+                optimizer=make_optimizer("adamw", 1e-4),
+                cfg=TrainerConfig(output_dir=str(out), max_steps=2,
+                                  log_every=1, lora_rank=2),
+                mesh=make_mesh(),
+                **reward_kw,
+            )
+
+        from t2v_turbo_tpu.training.reward_adapters import (
+            make_image_reward_fn,
+            make_video_reward_fn,
+        )
+
+        closure = build(
+            dict(
+                reward_fn=make_image_reward_fn(vae, vp, irm),
+                video_reward_fn=make_video_reward_fn(vae, vp, vrm),
+            ),
+            tmp_path / "closure",
+        )
+        factory, rparams = make_reward_fn_factory(
+            vae, vp, image_rm=irm, video_rm=vrm
+        )
+        viafactory = build(
+            dict(reward_fn_factory=factory, reward_params=rparams),
+            tmp_path / "factory",
+        )
+
+        key = jax.random.PRNGKey(5)
+        for trainer in (closure, viafactory):
+            it = batch_iter()
+            losses = []
+            for _ in range(2):
+                b = trainer.shard_batch(next(it))
+                trainer.state, m = trainer._step_jit(trainer.state, b, key)
+                losses.append(float(m["loss"]))
+            trainer.final_losses = losses
+            assert float(m["reward_loss"]) != 0.0
+
+        np.testing.assert_allclose(
+            viafactory.final_losses, closure.final_losses, rtol=1e-6
+        )
+        # constants-vs-args lower to different fusions, so expect float
+        # epsilon, not bitwise equality
+        for a, b in zip(
+            jax.tree.leaves(closure.state["trainable"]),
+            jax.tree.leaves(viafactory.state["trainable"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-8
+            )

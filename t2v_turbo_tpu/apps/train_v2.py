@@ -186,7 +186,7 @@ def main(argv=None):
     from ..models.unet_vc2 import UNetConfig, UNetModel
     from ..parallel.mesh import make_mesh
     from ..training.lcd_v2 import LCDV2Config, lcd_v2_loss
-    from ..training.optim import make_v2_optimizer
+    from ..training.optim import make_v2_label_fn, make_v2_optimizer
     from ..training.trainer import LCDTrainer, TrainerConfig
     from ..data.datasets import MP4LatentDataset
     from .train_v1 import build_reward_stack
@@ -312,12 +312,13 @@ def main(argv=None):
             unet_tr = trainable["unet"]
             ctx = text_model.apply(trainable["text"], batch["tokens"])
             batch = dict(batch, prompt_emb=ctx)
-            # the EMA target net is UNet-only in the reference (:671-675);
             # the context always comes from the ONLINE text encoder (:989)
-            target = ema["unet"] if ema is not None else None
         else:
             unet_tr = trainable
-            target = ema
+        # the EMA target net is UNet-only in the reference (:671-675) and
+        # the trainer state holds it that way (ema_path="unet" below), so
+        # `ema` is already the UNet subtree in both branches
+        target = ema
         return lcd_v2_loss(
             unet_tr, batch, key,
             student_apply=apply,
@@ -326,6 +327,19 @@ def main(argv=None):
             reward_fn=reward_fns[0],
             video_reward_fn=reward_fns[1],
         )
+
+    # frozen text leaves (embeddings + locked resblocks) must have their
+    # grads zeroed BEFORE the trainer's global-norm clip — the reference's
+    # requires_grad=False params never enter its clip — not just inside
+    # the optimizer's frozen-label group
+    frozen_mask = None
+    if args.train_text_encoder:
+        _label = make_v2_label_fn(
+            train_text_encoder=True,
+            unlocked_text_layers=args.unlocked_text_layers,
+            text_resblocks=text_resblocks,
+        )
+        frozen_mask = lambda path: _label(path) == "frozen"
 
     # Adapt LCDTrainer to the v2 loss by overriding its loss closure: the
     # trainer drives state/checkpoints; the loss comes from lcd_v2_loss.
@@ -357,11 +371,13 @@ def main(argv=None):
             fsdp=args.fsdp,
             grads_bf16=args.grads_bf16,
             split_step=args.split_step,
+            ema_path="unet" if args.train_text_encoder else None,
         ),
         mesh=make_mesh(seq=args.seq_shards),
         loss_fn_override=loss_override,
         reward_fn_factory=reward_factory,
         reward_params=reward_params,
+        frozen_grad_mask=frozen_mask,
     )
 
     def data_iter():
@@ -399,10 +415,9 @@ def main(argv=None):
         )
         print(f"{args.output_dir}/unet.pt")
         if "ema" in trainer.state:
-            ema = trainer.state["ema"]
-            ema_unet = ema["unet"] if args.train_text_encoder else ema
+            # ema_path="unet": the EMA state IS the UNet subtree
             save_torch(
-                export_unet_params(ema_unet, ucfg),
+                export_unet_params(trainer.state["ema"], ucfg),
                 f"{args.output_dir}/target_unet.pt",
             )
             print(f"{args.output_dir}/target_unet.pt")

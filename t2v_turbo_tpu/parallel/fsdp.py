@@ -83,16 +83,3 @@ def fsdp_shardings(
     if base_shardings is None:
         return jax.tree.map(one, tree)
     return jax.tree.map(one, tree, base_shardings)
-
-
-def shard_tree_fsdp(mesh: Mesh, tree: Any, base_shardings: Any = None):
-    """device_put `tree` with FSDP shardings (leaves that are already
-    committed jax.Arrays keep their placement)."""
-    sh = fsdp_shardings(mesh, tree, base_shardings)
-    return jax.tree.map(
-        lambda a, s: a
-        if isinstance(a, jax.Array) and a.committed
-        else jax.device_put(a, s),
-        tree,
-        sh,
-    )

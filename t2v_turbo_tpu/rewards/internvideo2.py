@@ -214,8 +214,15 @@ class InternVideo2RewardModel:
 
     def encode_texts(self, texts: Sequence[str]) -> jax.Array:
         assert self.tokenizer is not None, "provide a BERT tokenizer or token ids"
-        toks = jnp.asarray(self.tokenizer(list(texts)))
-        return self.encode_texts_tokens(toks)
+        toks = self.tokenizer(list(texts))
+        # BERT-style tokenizers (utils.bert_tokenizer.BertWordPieceTokenizer)
+        # return (ids, attention_mask); the mask must reach the encoder or
+        # padding tokens contaminate the [CLS] feature (the reference always
+        # applies it).
+        if isinstance(toks, tuple):
+            ids, mask = toks
+            return self.encode_texts_tokens(jnp.asarray(ids), jnp.asarray(mask))
+        return self.encode_texts_tokens(jnp.asarray(toks))
 
     def score(self, videos: jax.Array, text_feats: jax.Array) -> jax.Array:
         """videos (B, T, H, W, 3) preprocessed; text_feats (B, D) normalized.

@@ -210,10 +210,12 @@ def make_v2_optimizer(
     - temporal UNet modules (init_attn + TemporalTransformers) at their own
       LR (reference train_latent_t2v_turbo_v2.py:799-814,832-845),
     - when train_text_encoder, only the LAST `unlocked_text_layers`
-      resblocks + ln_final of the text tower train; token/positional
-      embeddings and earlier resblocks are frozen (reference :816-830 locks
-      them via requires_grad; here a set_to_zero() transform on the
-      "frozen" label is the optax equivalent),
+      resblocks of the reference's FULL tower + ln_final train;
+      token/positional embeddings and earlier resblocks are frozen
+      (reference :816-830 locks them via requires_grad; here a
+      set_to_zero() transform on the "frozen" label is the optax
+      equivalent). The full tower's final block is dead under penultimate
+      extraction, so unlocked_text_layers - 1 live blocks train,
     - everything else at the base LR.
 
     `text_resblocks` is the number of blocks the JAX tower RUNS (23 for the
@@ -228,27 +230,19 @@ def make_v2_optimizer(
     ratio also holds under the warmup/cosine schedules, which scale with
     their peak) — but compiles ONE adam graph instead of three
     optax.multi_transform masked copies (a real lowering/compile cost at
-    1.4B params on the 1-core host). Frozen leaves keep (all-zero) moment
-    slots; only the locked text layers, negligible next to the UNet.
+    1.4B params on the 1-core host). When frozen leaves exist
+    (train_text_encoder), the inner optimizer is optax.masked over the
+    live leaves, so frozen text layers allocate NO moment slots — the
+    same memory shape as the reference, which only hands
+    requires_grad=True params to its optimizer (:829-845).
     """
-    import re
-
     import jax
 
-    def label_one(path) -> str:
-        segs = [str(getattr(p, "key", p)) for p in path]
-        if "text" in segs[:2]:
-            if not train_text_encoder:
-                return "frozen"
-            for s in segs:
-                if s == "ln_final":
-                    return "base"
-                m = re.fullmatch(r"resblocks_(\d+)", s)
-                if m:
-                    unlocked = int(m.group(1)) >= text_resblocks - unlocked_text_layers
-                    return "base" if unlocked else "frozen"
-            return "frozen"  # token/positional embeddings stay locked
-        return "temporal" if is_temporal_param(path) else "base"
+    label_one = make_v2_label_fn(
+        train_text_encoder=train_text_encoder,
+        unlocked_text_layers=unlocked_text_layers,
+        text_resblocks=text_resblocks,
+    )
 
     t_lr = (
         temporal_learning_rate
@@ -260,9 +254,57 @@ def make_v2_optimizer(
         "temporal": float(t_lr) / float(learning_rate),
         "frozen": 0.0,
     }
-    return _scaled_by_label(
-        make_optimizer(name, learning_rate, **kw), label_one, scales
-    )
+    inner = make_optimizer(name, learning_rate, **kw)
+    if train_text_encoder:
+        def not_frozen(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: label_one(p) != "frozen", tree
+            )
+
+        inner = optax.masked(inner, not_frozen)
+    return _scaled_by_label(inner, label_one, scales)
+
+
+def make_v2_label_fn(
+    train_text_encoder: bool = False,
+    unlocked_text_layers: int = 4,
+    text_resblocks: int = 23,
+):
+    """Per-leaf group label ("base" | "temporal" | "frozen") for the v2
+    trainable tree — shared between make_v2_optimizer (grouped LRs, frozen
+    moment masking) and the trainer's pre-clip grad zeroing
+    (TrainerConfig/frozen_grad_mask: the reference never lets
+    requires_grad=False params into its grad-norm clip, so frozen leaves
+    must be zeroed BEFORE the global-norm clip, not just inside the
+    optimizer)."""
+    import re
+
+    def label_one(path) -> str:
+        segs = [str(getattr(p, "key", p)) for p in path]
+        if "text" in segs[:2]:
+            if not train_text_encoder:
+                return "frozen"
+            for s in segs:
+                if s == "ln_final":
+                    return "base"
+                m = re.fullmatch(r"resblocks_(\d+)", s)
+                if m:
+                    # `unlocked_text_layers` counts blocks of the REFERENCE's
+                    # full (text_resblocks + 1)-block tower; its final block
+                    # is dead under penultimate extraction (condition.py:274
+                    # breaks before it) and not materialized here, so only
+                    # unlocked_text_layers - 1 live blocks actually train
+                    # (defaults: 20,21,22 — matching the reference, where
+                    # block 23 is unlocked but never runs).
+                    unlocked = (
+                        int(m.group(1))
+                        >= text_resblocks + 1 - unlocked_text_layers
+                    )
+                    return "base" if unlocked else "frozen"
+            return "frozen"  # token/positional embeddings stay locked
+        return "temporal" if is_temporal_param(path) else "base"
+
+    return label_one
 
 
 def _scaled_by_label(base, label_one, scales):

@@ -93,6 +93,13 @@ class TrainerConfig:
     # 15.96 G on a 16 GB v5e (PERF_NOTES r3). Also halves the largest
     # single compile. Cost: one extra dispatch per step.
     split_step: bool = False
+    # EMA tracks only this top-level key of the trainable dict (e.g.
+    # "unet"). The v2 target net is UNet-only in the reference
+    # (train_latent_t2v_turbo_v2.py:671-675), so when the text tower joins
+    # the trainable tree it must NOT be duplicated and decayed into the
+    # EMA state (an unused ~1.2 GB f32 copy at full size). None = EMA over
+    # the whole trainable tree.
+    ema_path: Optional[str] = None
 
 
 class LCDTrainer:
@@ -114,6 +121,7 @@ class LCDTrainer:
         loss_fn_override=None,
         reward_params=None,
         reward_fn_factory=None,
+        frozen_grad_mask=None,
     ):
         """loss_fn_override(trainable, batch, key, ema=None) -> (loss, metrics)
         replaces the built-in v1 LCD loss — the v2 latent trainer plugs
@@ -130,7 +138,15 @@ class LCDTrainer:
         traced loss with the (tracer) subtree:
             reward_fn_factory(rparams) -> (reward_fn, video_reward_fn)
         When a factory is given, `loss_fn_override` is called with an extra
-        `reward_fns=(rf, vrf)` keyword."""
+        `reward_fns=(rf, vrf)` keyword.
+
+        frozen_grad_mask(path) -> bool: leaves whose grads are zeroed
+        BEFORE the global-norm clip (and before grad accumulation). The
+        reference's frozen (requires_grad=False) params never reach its
+        clip, so leaving their grad mass in gnorm would over-clip the live
+        params and inflate the logged grad_norm; zeroing only inside the
+        optimizer (optim.make_v2_optimizer's frozen label) is too late.
+        Pass optim.make_v2_label_fn(...) == "frozen" for the v2 recipe."""
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         accum = max(1, cfg.grad_accum_steps)
@@ -195,7 +211,10 @@ class LCDTrainer:
             "step": jnp.zeros([], jnp.int32),
         }
         if cfg.ema_decay is not None:
-            self.state["ema"] = jax.tree.map(jnp.copy, trainable)
+            ema_src = (
+                trainable if cfg.ema_path is None else trainable[cfg.ema_path]
+            )
+            self.state["ema"] = jax.tree.map(jnp.copy, ema_src)
         # Commit state + frozen to the mesh. Default: replicated (DP shards
         # the batch, not the params). cfg.fsdp: every large leaf sharded
         # over "data" (parallel/fsdp.py) — params, Adam moments, EMA, and
@@ -262,6 +281,13 @@ class LCDTrainer:
                 trainable, batch, key, fr, ema
             )
             del loss  # already inside metrics
+            if frozen_grad_mask is not None:
+                grads = jax.tree_util.tree_map_with_path(
+                    lambda p, g: jnp.zeros_like(g)
+                    if frozen_grad_mask(p)
+                    else g,
+                    grads,
+                )
             if cfg.grads_bf16:
                 grads = jax.tree.map(
                     lambda g: g.astype(jnp.bfloat16), grads
@@ -293,10 +319,15 @@ class LCDTrainer:
                 step=state["step"] + 1,
             )
             if cfg.ema_decay is not None:
+                tr_src = (
+                    trainable
+                    if cfg.ema_path is None
+                    else trainable[cfg.ema_path]
+                )
                 ema = jax.tree.map(
                     lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
                     state["ema"],
-                    trainable,
+                    tr_src,
                 )
                 if cfg.grad_accum_steps > 1:
                     # decay once per optimizer update, not per micro-step

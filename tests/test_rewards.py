@@ -197,6 +197,31 @@ class TestTrainFacades:
         g = jax.grad(lambda v: rm.score(v, tf).sum())(vids)
         assert float(jnp.abs(g).sum()) > 0
 
+        # BERT-style tokenizers (the --bert-vocab production path) return an
+        # (ids, attention_mask) TUPLE — encode_texts must unpack it and
+        # forward the mask, not jnp.asarray the tuple into a (2, B, L) array
+        class TupleTok:
+            def __call__(self, texts):
+                ids = np.zeros((len(texts), 6), np.int32)
+                mask = np.zeros((len(texts), 6), np.int32)
+                for i, t in enumerate(texts):
+                    n = min(len(t.split()) + 2, 6)
+                    ids[i, :n] = np.arange(1, n + 1)
+                    mask[i, :n] = 1
+                return ids, mask
+
+        rm.rm.tokenizer = TupleTok()
+        tf2 = rm.encode_texts(["a cat", "a dog runs far"])
+        assert tf2.shape == tf.shape
+        # the mask must reach the encoder: same ids with an all-ones mask
+        # (padding attended) produce different features
+        ids, mask = TupleTok()(["a cat", "a dog runs far"])
+        with_mask = rm.rm.encode_texts_tokens(jnp.asarray(ids), jnp.asarray(mask))
+        no_mask = rm.rm.encode_texts_tokens(jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(tf2), np.asarray(with_mask),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(jnp.abs(with_mask - no_mask).max()) > 1e-4
+
 
 class TestScanLayers:
     """scan_layers=True lowers one block body via lax.scan over stacked

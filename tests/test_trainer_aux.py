@@ -201,6 +201,101 @@ class TestChunkedDecode:
         )
 
 
+class TestFrozenGradMaskAndEmaPath:
+    """frozen_grad_mask zeroes frozen-leaf grads BEFORE the global-norm
+    clip (the reference's requires_grad=False params never enter its
+    clip), and ema_path restricts the EMA state to one trainable subtree
+    (the v2 target net is UNet-only, reference :671-675)."""
+
+    def _build(self, out, frozen_mask=None, ema_decay=None, ema_path=None):
+        import optax
+
+        from t2v_turbo_tpu.parallel.mesh import make_mesh
+        from t2v_turbo_tpu.training.trainer import LCDTrainer, TrainerConfig
+
+        trainable = {
+            "unet": {"w": jnp.ones((4,))},
+            "text": {"locked": jnp.ones((4,)), "live": jnp.ones((4,))},
+        }
+
+        def loss_override(tr, batch, key, ema=None):
+            # enormous grad on the frozen leaf, small on the live ones:
+            # if the frozen mass reaches the clip it crushes the live update
+            loss = (
+                100.0 * tr["text"]["locked"].sum()
+                + 0.001 * tr["text"]["live"].sum()
+                + 0.001 * tr["unet"]["w"].sum()
+            )
+            return loss, {"loss": loss}
+
+        sched = DiffusionSchedule.create()
+        solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+        return LCDTrainer(
+            student_apply=lambda *a, **k: None,
+            teacher_apply=lambda *a, **k: None,
+            teacher_params={},
+            student_params=trainable,
+            sched=sched,
+            solver=solver,
+            lcd_cfg=None,
+            optimizer=optax.sgd(1.0),
+            cfg=TrainerConfig(
+                output_dir=str(out), lora_rank=None, max_grad_norm=0.1,
+                ema_decay=ema_decay, ema_path=ema_path,
+            ),
+            mesh=make_mesh(),
+            loss_fn_override=loss_override,
+            frozen_grad_mask=frozen_mask,
+        )
+
+    @staticmethod
+    def _is_locked(path):
+        return any(str(getattr(p, "key", p)) == "locked" for p in path)
+
+    def test_frozen_grads_excluded_from_clip(self, tmp_path):
+        batch = {"x": np.zeros((8, 1), np.float32)}
+        key = jax.random.PRNGKey(0)
+
+        masked = self._build(tmp_path / "m", frozen_mask=self._is_locked)
+        st, m = masked._step_jit(
+            masked.state, masked.shard_batch(batch), key
+        )
+        # grad_norm excludes the frozen leaf's 100-per-element grads:
+        # only the two 0.001 leaves remain -> norm ~ 0.0028 < clip 0.1
+        assert float(m["grad_norm"]) < 0.01
+        # live update is NOT shrunk by the frozen mass: unclipped sgd step
+        np.testing.assert_allclose(
+            np.asarray(st["trainable"]["unet"]["w"]), 1.0 - 0.001, rtol=1e-5
+        )
+        # frozen leaf does not move even though sgd itself never zeroes it
+        np.testing.assert_allclose(
+            np.asarray(st["trainable"]["text"]["locked"]), 1.0
+        )
+
+        unmasked = self._build(tmp_path / "u")
+        st_u, m_u = unmasked._step_jit(
+            unmasked.state, unmasked.shard_batch(batch), key
+        )
+        # without the mask the frozen mass inflates grad_norm (~200) and
+        # over-clips the live params — the bug this guards against
+        assert float(m_u["grad_norm"]) > 100
+        assert abs(float(st_u["trainable"]["unet"]["w"][0]) - (1.0 - 0.001)) > 1e-6
+
+    def test_ema_path_tracks_subtree_only(self, tmp_path):
+        trainer = self._build(
+            tmp_path / "e", ema_decay=0.5, ema_path="unet"
+        )
+        assert set(trainer.state["ema"].keys()) == {"w"}  # unet subtree only
+        batch = {"x": np.zeros((8, 1), np.float32)}
+        st, _ = trainer._step_jit(
+            trainer.state, trainer.shard_batch(batch), jax.random.PRNGKey(0)
+        )
+        expect = 0.5 * 1.0 + 0.5 * np.asarray(st["trainable"]["unet"]["w"])
+        np.testing.assert_allclose(
+            np.asarray(st["ema"]["w"]), expect, rtol=1e-6
+        )
+
+
 class TestRewardParamsAsArgs:
     """LCDTrainer(reward_fn_factory=..., reward_params=...) threads the
     reward towers through the jitted step as runtime args (under

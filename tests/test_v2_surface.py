@@ -103,10 +103,12 @@ class TestV2OptimizerGroups:
         return updates
 
     def test_partial_unfreeze(self):
-        """unlocked_text_layers=1 of 2 run blocks: resblocks_1 + ln_final
-        train; embeddings and resblocks_0 are frozen (reference :816-830)."""
+        """unlocked_text_layers counts blocks of the reference's FULL tower
+        (text_resblocks + 1, final block dead under penultimate): here 2 of
+        a 3-block full tower -> live resblocks_1 + ln_final train;
+        embeddings and resblocks_0 are frozen (reference :816-830)."""
         u = self._updates(
-            train_text_encoder=True, unlocked_text_layers=1, text_resblocks=2
+            train_text_encoder=True, unlocked_text_layers=2, text_resblocks=2
         )
         t = u["text"]["params"]
         assert float(jnp.abs(t["token_embedding"]).sum()) == 0
@@ -116,6 +118,42 @@ class TestV2OptimizerGroups:
         assert float(jnp.abs(t["ln_final"]["scale"]).sum()) > 0
         # UNet always trains
         assert float(jnp.abs(u["unet"]["params"]["out"]["kernel"]).sum()) > 0
+
+    def test_default_boundary_matches_reference(self):
+        """Defaults (unlocked_text_layers=4 of the 24-block ViT-H tower,
+        23 live): the reference locks resblocks[:-4] -> 0..19 frozen, and
+        block 23 never runs under penultimate extraction
+        (condition.py:272-276), so exactly 20,21,22 train."""
+        from jax.tree_util import DictKey
+
+        from t2v_turbo_tpu.training.optim import make_v2_label_fn
+
+        label = make_v2_label_fn(train_text_encoder=True)
+        path = lambda i: (
+            DictKey("text"), DictKey("params"),
+            DictKey(f"resblocks_{i}"), DictKey("kernel"),
+        )
+        assert label(path(19)) == "frozen"
+        assert label(path(20)) == "base"
+        assert label(path(22)) == "base"
+
+    def test_frozen_leaves_allocate_no_moments(self):
+        """optax.masked drops moment slots for frozen text leaves — the
+        reference only hands requires_grad=True params to its optimizer
+        (:829-845), so frozen layers cost no optimizer memory."""
+        tree = self._tree()
+        tx = make_v2_optimizer(
+            "adamw", 1e-2, train_text_encoder=True,
+            unlocked_text_layers=2, text_resblocks=2,
+        )
+        state = tx.init(tree)
+        flat = jax.tree_util.tree_flatten_with_path(state)[0]
+        paths = [
+            "/".join(str(getattr(k, "key", k)) for k in p) for p, _ in flat
+        ]
+        assert not any("token_embedding" in s for s in paths)
+        assert not any("resblocks_0" in s for s in paths)
+        assert any("resblocks_1" in s for s in paths)
 
     def test_text_frozen_without_flag(self):
         u = self._updates(train_text_encoder=False)

@@ -179,5 +179,5 @@ class TestImageRewardModel:
         scores = model.score(images, toks)
         assert scores.shape == (2,)
         assert np.isfinite(np.asarray(scores)).all()
-        g = jax.grad(lambda im: -model.score(im, toks).mean())(images)
+        g = jax.jit(jax.grad(lambda im: -model.score(im, toks).mean()))(images)
         assert float(jnp.abs(g).sum()) > 0

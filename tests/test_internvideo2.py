@@ -158,7 +158,7 @@ class TestIV2RewardModel:
         scores = model.score(vids, feats)
         assert scores.shape == (2,)
         assert (np.abs(np.asarray(scores)) <= 1 + 1e-5).all()
-        g = jax.grad(lambda v: -model.score(v, feats).mean())(vids)
+        g = jax.jit(jax.grad(lambda v: -model.score(v, feats).mean()))(vids)
         assert float(jnp.abs(g).sum()) > 0
 
     def test_factory(self):

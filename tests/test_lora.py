@@ -39,14 +39,14 @@ class TestLoRA:
         lora = init_lora(params, LoRAConfig(rank=4), jax.random.PRNGKey(1))
         assert len(lora) > 0
         merged = merge_lora(params, lora)
-        out0 = model.apply(
-            params, x, jnp.array([5]), jnp.ones((1, 7, 16)),
-            timestep_cond=jnp.ones((1, 8)),
+        fwd = jax.jit(
+            lambda p: model.apply(
+                p, x, jnp.array([5]), jnp.ones((1, 7, 16)),
+                timestep_cond=jnp.ones((1, 8)),
+            )
         )
-        out1 = model.apply(
-            merged, x, jnp.array([5]), jnp.ones((1, 7, 16)),
-            timestep_cond=jnp.ones((1, 8)),
-        )
+        out0 = fwd(params)
+        out1 = fwd(merged)
         np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
 
     def test_nonzero_up_changes_output(self):
@@ -55,8 +55,11 @@ class TestLoRA:
         lora = jax.tree.map(lambda a: a + 0.05, lora)
         merged = merge_lora(params, lora)
         args = (x, jnp.array([5]), jnp.ones((1, 7, 16)))
-        o0 = model.apply(params, *args, timestep_cond=jnp.ones((1, 8)))
-        o1 = model.apply(merged, *args, timestep_cond=jnp.ones((1, 8)))
+        fwd = jax.jit(
+            lambda p: model.apply(p, *args, timestep_cond=jnp.ones((1, 8)))
+        )
+        o0 = fwd(params)
+        o1 = fwd(merged)
         assert float(jnp.abs(o0 - o1).max()) > 1e-6
 
     def test_grads_flow_only_to_lora(self):
@@ -77,7 +80,7 @@ class TestLoRA:
             # out-conv makes the model output (and d(out**2)) zero at init
             return jnp.sum(out.astype(jnp.float32))
 
-        g_lora, g_base = jax.grad(loss, argnums=(0, 1))(lora, params)
+        g_lora, g_base = jax.jit(jax.grad(loss, argnums=(0, 1)))(lora, params)
         # base gradients must be exactly zero (stop_gradient)
         base_norm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(g_base))
         assert base_norm == 0.0

@@ -66,7 +66,7 @@ class TestPreprocess:
         def f(x):
             return jnp.sum(preprocess_images(x, size=28) ** 2)
 
-        g = jax.grad(f)(jnp.ones((1, 40, 40, 3)) * 0.3)
+        g = jax.jit(jax.grad(f))(jnp.ones((1, 40, 40, 3)) * 0.3)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
 
@@ -86,7 +86,7 @@ class TestImageReward:
         def loss(images):
             return -img_rm.score(images, tf).mean()
 
-        g = jax.grad(loss)(jnp.full((1, 32, 32, 3), 0.5))
+        g = jax.jit(jax.grad(loss))(jnp.full((1, 32, 32, 3), 0.5))
         assert float(jnp.abs(g).sum()) > 0
 
     def test_logit_scale(self, img_rm):
@@ -119,7 +119,7 @@ class TestVideoReward:
         def loss(v):
             return -vid_rm.score(v, tf).mean()
 
-        g = jax.grad(loss)(jnp.full((1, 4, 32, 32, 3), 0.5))
+        g = jax.jit(jax.grad(loss))(jnp.full((1, 4, 32, 32, 3), 0.5))
         assert float(jnp.abs(g).sum()) > 0
 
 
@@ -170,7 +170,7 @@ class TestTrainFacades:
         imgs = jnp.full((2, 32, 48, 3), 0.5)
         s = rm.score(imgs, jnp.asarray(ids))
         assert s.shape == (2,) and bool(jnp.all(s <= 0))  # -relu(-r+2) <= 0
-        g = jax.grad(lambda im: rm.score(im, jnp.asarray(ids)).sum())(imgs)
+        g = jax.jit(jax.grad(lambda im: rm.score(im, jnp.asarray(ids)).sum()))(imgs)
         assert float(jnp.abs(g).sum()) > 0
 
     def test_iv2_train_reward_grad(self):
@@ -194,7 +194,7 @@ class TestTrainFacades:
         vids = jnp.full((2, 4, 32, 48, 3), 0.5)
         s = rm.score(vids, tf)
         assert s.shape == (2,)
-        g = jax.grad(lambda v: rm.score(v, tf).sum())(vids)
+        g = jax.jit(jax.grad(lambda v: rm.score(v, tf).sum()))(vids)
         assert float(jnp.abs(g).sum()) > 0
 
         # BERT-style tokenizers (the --bert-vocab production path) return an
@@ -288,7 +288,7 @@ class TestScanLayers:
         svit = VisionTransformer(cfg=scfg)
         p = svit.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)))
         x = jnp.full((2, 28, 28, 3), 0.5)
-        g = jax.grad(lambda im: svit.apply(p, im).sum())(x)
+        g = jax.jit(jax.grad(lambda im: svit.apply(p, im).sum()))(x)
         assert float(jnp.abs(g).sum()) > 0
 
     def test_iv2_scan_matches_unrolled(self):

@@ -95,7 +95,7 @@ class TestRewardAdapters:
                 reward_fn=img_fn, video_reward_fn=vid_fn,
             )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(up)
+        (loss, metrics), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(up)
         assert np.isfinite(float(loss))
         assert "reward_loss" in metrics and "video_rm_loss" in metrics
         gn = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
@@ -194,8 +194,8 @@ class TestChunkedDecode:
             np.testing.assert_allclose(
                 np.asarray(out), np.asarray(full), rtol=2e-5, atol=1e-5
             )
-        g_full = jax.grad(lambda z_: chunked_decode(vae, vp, z_, None).sum())(z)
-        g_chunk = jax.grad(lambda z_: chunked_decode(vae, vp, z_, 2).sum())(z)
+        g_full = jax.jit(jax.grad(lambda z_: chunked_decode(vae, vp, z_, None).sum()))(z)
+        g_chunk = jax.jit(jax.grad(lambda z_: chunked_decode(vae, vp, z_, 2).sum()))(z)
         np.testing.assert_allclose(
             np.asarray(g_chunk), np.asarray(g_full), rtol=2e-4, atol=1e-5
         )

@@ -77,6 +77,67 @@ class TestV2RewardFields:
         assert np.flatnonzero(batch["reward_mask"]).tolist() == [1]
 
 
+class TestTrainV2CLI:
+    """End-to-end CLI integration: apps/train_v2.main with text-encoder
+    unfreeze + EMA target on tiny shapes — guards the arg wiring, the
+    online text re-encoding, ema_path, and the three exports. The reward
+    towers are left OFF here (their selection/loss/adapter layers have
+    dedicated tests and tower graphs triple this test's un-cacheable
+    trace/lowering time on the 1-core CI box)."""
+
+    def _write_pickles(self, d, n=8, ctx_dim=16):
+        import pickle
+
+        rng = np.random.RandomState(0)
+        t, lh, lw = 4, 4, 4
+        for i in range(n):
+            s = {
+                "index": np.int32(30 + i),
+                "z_t": rng.randn(t, lh, lw, 4).astype(np.float32),
+                "cond_teacher_out": rng.randn(t, lh, lw, 4).astype(np.float32),
+                "uncond_teacher_out": rng.randn(t, lh, lw, 4).astype(np.float32),
+                "score": (rng.randn(t, lh, lw, 4) * 0.01).astype(np.float32),
+                "prompt_emb": rng.randn(7, ctx_dim).astype(np.float32),
+                "use_motion_guide": True,
+                "txt": f"a full caption number {i}",
+                "short_txt": "cat" if i % 2 else "",
+            }
+            pickle.dump(s, open(d / f"{i}.pkl", "wb"))
+
+    def test_cli_end_to_end(self, tmp_path):
+        import json
+
+        from t2v_turbo_tpu.apps.train_v2 import main
+
+        lat = tmp_path / "latents"
+        lat.mkdir()
+        self._write_pickles(lat)
+        out = tmp_path / "out"
+        # main() repoints the global compilation cache (the CLI apps use the
+        # user-level cache dir); restore the test session's dir after
+        old_cache = jax.config.jax_compilation_cache_dir
+        try:
+            main([
+                "--cpu", "--tiny-model", "--random-weights",
+                "--latent-glob", str(lat / "*.pkl"),
+                "--output-dir", str(out),
+                "--max-steps", "2", "--batch-size", "8",
+                "--optimizer", "adamw",
+                "--train-text-encoder", "--unlocked-text-layers", "2",
+                "--use-target-unet",
+            ])
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old_cache)
+        rows = [
+            json.loads(l) for l in open(out / "metrics.jsonl", encoding="utf-8")
+        ]
+        assert rows[-1]["step"] == 2
+        assert np.isfinite(rows[-1]["loss"])
+        assert (out / "unet.pt").exists()
+        assert (out / "target_unet.pt").exists()  # UNet-only EMA exported
+        assert (out / "text_encoder.npz").exists()
+
+
 class TestV2OptimizerGroups:
     def _tree(self):
         return {

@@ -52,7 +52,11 @@ def main(argv=None):
 
     from ..diffusion import DDIMSolver, DiffusionSchedule
     from ..models.unet_vc2 import UNetConfig, UNetModel
-    from ..training.preprocess import PreprocessConfig, preprocess_sample, save_sample
+    from ..training.preprocess import (
+        PreprocessConfig,
+        make_preprocess_fn,
+        save_sample,
+    )
 
     if args.tiny_model:
         ucfg = UNetConfig(
@@ -177,16 +181,18 @@ def main(argv=None):
     source = synthetic() if args.synthetic_data else from_videos()
     uncond = jnp.zeros(ctx_shape)
 
+    # build the jitted per-sample core ONCE: every sample reuses the same
+    # compiled program (inversion scan + motion fwd/bwd + teacher outputs)
+    run = make_preprocess_fn(
+        teacher_apply=apply,
+        teacher_apply_mutable=None if args.no_motion_prior else apply_mut,
+        sched=sched, solver=solver, cfg=cfg,
+    )
+
     written = 0
     for name, latents, ctx, txt in source:
         key, sub = jax.random.split(key)
-        d = preprocess_sample(
-            latents=latents, prompt_emb=ctx, uncond_emb=uncond, key=sub,
-            teacher_apply=apply,
-            teacher_apply_mutable=None if args.no_motion_prior else apply_mut,
-            teacher_params=params, sched=sched, solver=solver, cfg=cfg,
-            txt=txt,
-        )
+        d = run(params, latents, ctx, uncond, sub, txt=txt)
         print(save_sample(args.output_dir, name, d))
         written += 1
     print(f"wrote {written} samples to {args.output_dir}", file=sys.stderr)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..diffusion import DDIMSolver, DiffusionSchedule, add_noise
-from .motion import motion_prior_score, reverse_ddim_loop
+from .motion import motion_prior_score
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,6 +31,110 @@ class PreprocessConfig:
     with_motion_prior: bool = True
     temp_loss_scale: float = 1.0
     rank_k: int = 1
+
+
+def make_preprocess_fn(
+    *,
+    teacher_apply: Callable,  # (params, z, ts, ctx, fps=None) -> eps
+    teacher_apply_mutable: Optional[Callable],  # record_probs variant
+    sched: DiffusionSchedule,
+    solver: DDIMSolver,
+    cfg: PreprocessConfig,
+    fps=None,
+    jit: bool = True,
+) -> Callable:
+    """Build the per-sample preprocess core ONCE so the whole computation
+    (index draw, noising, DDIM inversion, motion score = a full teacher
+    fwd+bwd, cond/uncond teacher outputs) is a single compiled program
+    reused across every sample of the offline job. The eager form runs the
+    teacher op-by-op (~1.5-2 ms/dispatch on the remote TPU — minutes per
+    sample at full size), and the reference's variable-length inversion
+    (index+1 steps, :348-355) would recompile per distinct index; here the
+    scan is fixed-length over all num_ddim_timesteps grid points with a
+    lax.cond skipping the teacher beyond `index`, and z_example is captured
+    in-carry at i == index — identical math, one compile, no (N, ...)
+    intermediate stack.
+
+    Returns run(params, latents, prompt_emb, uncond_emb, key, txt="",
+    short_txt="") -> the v2 training dict (host numpy)."""
+    use_motion = cfg.with_motion_prior and teacher_apply_mutable is not None
+    lo = int((1.0 - cfg.max_percentage) * cfg.num_ddim_timesteps)
+
+    def core(params, latents, prompt_emb, uncond_emb, key):
+        k_idx, k_noise = jax.random.split(key)
+        index = jax.random.randint(k_idx, (1,), lo, cfg.num_ddim_timesteps)
+        ts = solver.index_to_timestep(index)
+        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        latents32 = latents.astype(jnp.float32)
+        z_t = add_noise(sched, latents32, noise, ts)
+        b = latents.shape[0]
+
+        out = {"index": index, "z_t": z_t}
+        if use_motion:
+            # invert clean latents index+1 steps -> z_example at the same
+            # noise level (reference :348-355)
+            def inv_step(lat, i):
+                ts_i = jnp.broadcast_to(solver.index_to_timestep(i), (b,))
+                eps = teacher_apply(
+                    params, lat, ts_i, prompt_emb, fps=fps
+                ).astype(jnp.float32)
+                return solver.ddim_reverse_step(lat, eps, ts_i)
+
+            def body(carry, i):
+                lat, z_ex = carry
+                lat = jax.lax.cond(
+                    i <= index[0], lambda l: inv_step(l, i), lambda l: l, lat
+                )
+                z_ex = jnp.where(i == index[0], lat, z_ex)
+                return (lat, z_ex), None
+
+            (_, z_example), _ = jax.lax.scan(
+                body,
+                (latents32, jnp.zeros_like(latents32)),
+                jnp.arange(cfg.num_ddim_timesteps),
+            )
+            score, cond_out = motion_prior_score(
+                teacher_apply_mutable, params, z_t, ts, z_example,
+                prompt_emb, prompt_emb, fps=fps,
+                temp_loss_scale=cfg.temp_loss_scale, rank_k=cfg.rank_k,
+            )
+            out["z_example"] = z_example
+        else:
+            score = jnp.zeros_like(z_t)
+            cond_out = teacher_apply(
+                params, z_t, ts, prompt_emb, fps=fps
+            ).astype(jnp.float32)
+        out["score"] = score
+        out["cond_teacher_out"] = cond_out
+        out["uncond_teacher_out"] = teacher_apply(
+            params, z_t, ts, uncond_emb, fps=fps
+        ).astype(jnp.float32)
+        return out
+
+    core_fn = jax.jit(core) if jit else core
+
+    def run(params, latents, prompt_emb, uncond_emb, key,
+            txt: str = "", short_txt: str = "") -> dict:
+        d = core_fn(params, latents, prompt_emb, uncond_emb, key)
+        out = {
+            "index": np.asarray(d["index"])[0],
+            "z_t": np.asarray(d["z_t"])[0],
+            "cond_teacher_out": np.asarray(d["cond_teacher_out"])[0],
+            "uncond_teacher_out": np.asarray(d["uncond_teacher_out"])[0],
+            "score": np.asarray(d["score"])[0],
+            "prompt_emb": np.asarray(prompt_emb)[0],
+            "use_motion_guide": bool(use_motion),
+            # raw captions ride along for the v2 reward losses and the
+            # trainable-text-encoder path (reference mp4_dataset.py:127-129
+            # aliases them; short_txt == "" means no short caption)
+            "txt": txt,
+            "short_txt": short_txt,
+        }
+        if "z_example" in d:
+            out["z_example"] = np.asarray(d["z_example"])[0]
+        return out
+
+    return run
 
 
 def preprocess_sample(
@@ -50,58 +154,16 @@ def preprocess_sample(
     short_txt: str = "",
 ) -> dict:
     """One sample -> the v2 training dict (reference
-    preprocess_with_motion_prior.py:330-408)."""
-    k_idx, k_noise = jax.random.split(key)
-    lo = int((1.0 - cfg.max_percentage) * cfg.num_ddim_timesteps)
-    index = jax.random.randint(k_idx, (1,), lo, cfg.num_ddim_timesteps)
-    ts = solver.index_to_timestep(index)
-
-    noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
-    z_t = add_noise(sched, latents.astype(jnp.float32), noise, ts)
-
-    use_motion = cfg.with_motion_prior and teacher_apply_mutable is not None
-    if use_motion:
-        # invert clean latents index+1 steps -> z_example at the same noise
-        # level (reference :348-355)
-        n_steps = int(index[0]) + 1
-        inter = reverse_ddim_loop(
-            teacher_apply, teacher_params, latents.astype(jnp.float32),
-            prompt_emb, solver, num_steps=n_steps, fps=fps,
-        )
-        z_example = inter[-1]
-        score, cond_out = motion_prior_score(
-            teacher_apply_mutable, teacher_params, z_t, ts, z_example,
-            prompt_emb, prompt_emb, fps=fps,
-            temp_loss_scale=cfg.temp_loss_scale, rank_k=cfg.rank_k,
-        )
-    else:
-        z_example = None
-        score = jnp.zeros_like(z_t)
-        cond_out = teacher_apply(
-            teacher_params, z_t, ts, prompt_emb, fps=fps
-        ).astype(jnp.float32)
-
-    uncond_out = teacher_apply(
-        teacher_params, z_t, ts, uncond_emb, fps=fps
-    ).astype(jnp.float32)
-
-    out = {
-        "index": np.asarray(index)[0],
-        "z_t": np.asarray(z_t)[0],
-        "cond_teacher_out": np.asarray(cond_out)[0],
-        "uncond_teacher_out": np.asarray(uncond_out)[0],
-        "score": np.asarray(score)[0],
-        "prompt_emb": np.asarray(prompt_emb)[0],
-        "use_motion_guide": bool(use_motion),
-        # raw captions ride along for the v2 reward losses and the
-        # trainable-text-encoder path (reference mp4_dataset.py:127-129
-        # aliases them; short_txt == "" means no short caption)
-        "txt": txt,
-        "short_txt": short_txt,
-    }
-    if z_example is not None:
-        out["z_example"] = np.asarray(z_example)[0]
-    return out
+    preprocess_with_motion_prior.py:330-408). One-off convenience over
+    make_preprocess_fn — for bulk jobs build the fn once and reuse it so
+    the compiled core is shared across samples (apps/preprocess.py)."""
+    run = make_preprocess_fn(
+        teacher_apply=teacher_apply,
+        teacher_apply_mutable=teacher_apply_mutable,
+        sched=sched, solver=solver, cfg=cfg, fps=fps,
+    )
+    return run(teacher_params, latents, prompt_emb, uncond_emb, key,
+               txt=txt, short_txt=short_txt)
 
 
 def save_sample(out_dir: str, name: str, sample: dict) -> str:

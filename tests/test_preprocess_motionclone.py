@@ -15,6 +15,7 @@ from t2v_turbo_tpu.pipelines.motion_clone import (
 )
 from t2v_turbo_tpu.training.preprocess import (
     PreprocessConfig,
+    make_preprocess_fn,
     preprocess_sample,
     save_sample,
 )
@@ -95,6 +96,69 @@ class TestPreprocess:
         ds = MP4LatentDataset([p])
         batch = next(ds.batches(1))
         assert batch["z_t"].shape == (1, 4, 8, 8, 4)
+
+
+class TestPreprocessFactory:
+    """The bulk-job factory compiles ONE fixed-length program (cond-skipped
+    inversion scan, in-carry z_example capture at i == index) in place of
+    the reference's variable-length per-sample loop. A cheap differentiable
+    stand-in teacher keeps the eager comparison leg to milliseconds — the
+    real-UNet jitted path is exercised by TestPreprocess.test_motion_sample."""
+
+    @staticmethod
+    def _fakes():
+        def fake_apply(p, z, ts, c, fps=None):
+            t = ts.astype(z.dtype)[..., None, None, None, None]
+            return z * p["a"] + 0.02 * c.mean() + 0.001 * t
+
+        def fake_apply_mut(p, z, ts, c, fps=None):
+            # (B, T, T) "temporal attention probs": differentiable in z,
+            # sortable along the last axis — all motion_rank_loss needs
+            probs = jnp.einsum("bthwc,bshwc->bts", z, z)
+            return fake_apply(p, z, ts, c), {"intermediates": {"l0": probs}}
+
+        return fake_apply, fake_apply_mut, {"a": jnp.float32(1.02)}
+
+    def test_jit_core_matches_eager(self, setup):
+        _, _, _, sched, solver = setup
+        fake_apply, fake_apply_mut, params = self._fakes()
+        cfg = PreprocessConfig(num_ddim_timesteps=10, with_motion_prior=True)
+        kw = dict(teacher_apply=fake_apply, teacher_apply_mutable=fake_apply_mut,
+                  sched=sched, solver=solver, cfg=cfg)
+        lat = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 8, 8, 4)) * 0.2
+        ctx = jnp.ones((1, 7, 16))
+        unc = jnp.zeros_like(ctx)
+        key = jax.random.PRNGKey(8)
+        d_j = make_preprocess_fn(jit=True, **kw)(params, lat, ctx, unc, key)
+        d_e = make_preprocess_fn(jit=False, **kw)(params, lat, ctx, unc, key)
+        assert d_j["index"] == d_e["index"]
+        assert np.abs(d_j["score"]).sum() > 0  # grad actually flowed
+        for k in ("z_t", "z_example", "score", "cond_teacher_out",
+                  "uncond_teacher_out"):
+            np.testing.assert_allclose(d_j[k], d_e[k], rtol=2e-4, atol=1e-5)
+
+    def test_inversion_depth_matches_index(self, setup):
+        """z_example must be the latent after exactly index+1 reverse-DDIM
+        steps (reference preprocess_with_motion_prior.py:348-355) — the
+        cond-skip must not run past index or capture early."""
+        from t2v_turbo_tpu.training.motion import reverse_ddim_loop
+
+        _, _, _, sched, solver = setup
+        fake_apply, fake_apply_mut, params = self._fakes()
+        cfg = PreprocessConfig(num_ddim_timesteps=10, with_motion_prior=True)
+        lat = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 8, 8, 4)) * 0.2
+        ctx = jnp.ones((1, 7, 16))
+        d = make_preprocess_fn(
+            teacher_apply=fake_apply, teacher_apply_mutable=fake_apply_mut,
+            sched=sched, solver=solver, cfg=cfg,
+        )(params, lat, ctx, jnp.zeros_like(ctx), jax.random.PRNGKey(10))
+        inter = reverse_ddim_loop(
+            fake_apply, params, lat, ctx, solver,
+            num_steps=int(d["index"]) + 1,
+        )
+        np.testing.assert_allclose(
+            d["z_example"], np.asarray(inter[-1])[0], rtol=2e-4, atol=1e-5
+        )
 
 
 class TestMotionClone:

@@ -65,44 +65,55 @@ def motion_transfer_sample(
 
     band_lo = (1.0 - cfg.percentage) * n
 
-    cfg_step = jax.jit(
-        lambda p, z, ts: (
-            unet_apply(p, z, ts, inference_ctx, fps=fps).astype(jnp.float32),
-            unet_apply(p, z, ts, uncond_ctx, fps=fps).astype(jnp.float32),
-        )
-    )
-
-    # 2. guided DDIM sampling from high noise to low
-    for i in reversed(range(n)):
-        index = jnp.full((b,), i, jnp.int32)
-        ts = solver.index_to_timestep(index)
-
-        if i >= band_lo:
-            z_example = inter[i]
-            score, cond_eps = motion_prior_score(
-                unet_apply_mutable, params, latents, ts, z_example,
-                original_ctx, inference_ctx, fps=fps,
-                temp_loss_scale=cfg.temp_loss_scale, rank_k=cfg.rank_k,
-            )
-            uncond_eps = unet_apply(
-                params, latents, ts, uncond_ctx, fps=fps
-            ).astype(jnp.float32)
-            if reward_grad_fn is not None and cfg.reward_scale > 0:
-                score = score + cfg.reward_scale * reward_grad_fn(latents, ts)
-        else:
-            cond_eps, uncond_eps = cfg_step(params, latents, ts)
-            score = jnp.zeros_like(latents)
-
+    def update(z, ts, index, cond_eps, uncond_eps, score):
         w = cfg.guidance_scale
         eps = cond_eps + w * (cond_eps - uncond_eps)
-        cond_x0 = predicted_origin(cond_eps, ts, latents, "epsilon", sched)
-        uncond_x0 = predicted_origin(uncond_eps, ts, latents, "epsilon", sched)
+        cond_x0 = predicted_origin(cond_eps, ts, z, "epsilon", sched)
+        uncond_x0 = predicted_origin(uncond_eps, ts, z, "epsilon", sched)
         x0 = cond_x0 + w * (cond_x0 - uncond_x0)
         # guidance correction (reference motion_prior_sample.py:283-292;
         # alpha_schedule there is sqrt(abar))
         sqrt_abar = extract(sched.sqrt_alphas_cumprod, ts, nd)
         eps = eps - jnp.sqrt(1.0 - sqrt_abar) * score
-        latents = solver.ddim_step(x0, eps, index)
+        return solver.ddim_step(x0, eps, index)
+
+    # Two jitted step programs compiled ONCE and reused across the loop
+    # (the in-band step is a full teacher fwd+bwd — eager it dispatches
+    # op-by-op every step; reward_grad_fn must be traceable jax code).
+    @jax.jit
+    def motion_step(p, z, ts, index, z_example):
+        score, cond_eps = motion_prior_score(
+            unet_apply_mutable, p, z, ts, z_example,
+            original_ctx, inference_ctx, fps=fps,
+            temp_loss_scale=cfg.temp_loss_scale, rank_k=cfg.rank_k,
+        )
+        uncond_eps = unet_apply(p, z, ts, uncond_ctx, fps=fps).astype(
+            jnp.float32
+        )
+        if reward_grad_fn is not None and cfg.reward_scale > 0:
+            score = score + cfg.reward_scale * reward_grad_fn(z, ts)
+        return update(z, ts, index, cond_eps, uncond_eps, score)
+
+    @jax.jit
+    def plain_step(p, z, ts, index):
+        cond_eps = unet_apply(p, z, ts, inference_ctx, fps=fps).astype(
+            jnp.float32
+        )
+        uncond_eps = unet_apply(p, z, ts, uncond_ctx, fps=fps).astype(
+            jnp.float32
+        )
+        return update(z, ts, index, cond_eps, uncond_eps,
+                      jnp.zeros_like(z))
+
+    # 2. guided DDIM sampling from high noise to low (host loop: the band
+    # structure is static, each iteration is one jitted dispatch)
+    for i in reversed(range(n)):
+        index = jnp.full((b,), i, jnp.int32)
+        ts = solver.index_to_timestep(index)
+        if i >= band_lo:
+            latents = motion_step(params, latents, ts, index, inter[i])
+        else:
+            latents = plain_step(params, latents, ts, index)
 
     # after the final grid step latents sit at the alpha_cumprods[0] level —
     # effectively the clean sample (reference decodes them directly, :299)

@@ -61,7 +61,7 @@ class TestLCDV2:
             )
 
         cfg = LCDV2Config(w_embedding_dim=8)
-        (loss, metrics), grads = jax.value_and_grad(
+        (loss, metrics), grads = jax.jit(jax.value_and_grad(
             lambda p: lcd_v2_loss(
                 p, {k: jnp.asarray(v) if not isinstance(v, list) else v
                     for k, v in v2_batch().items()},
@@ -69,7 +69,7 @@ class TestLCDV2:
                 student_apply=apply, sched=sched, solver=solver, cfg=cfg,
             ),
             has_aux=True,
-        )(params)
+        ))(params)
         assert np.isfinite(float(loss))
         gn = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
         assert gn > 0
@@ -90,12 +90,15 @@ class TestLCDV2:
         key = jax.random.PRNGKey(0)
         base = {k: jnp.asarray(v) for k, v in v2_batch().items()}
 
-        def loss_of(batch):
-            l, _ = lcd_v2_loss(
+        jloss = jax.jit(
+            lambda batch: lcd_v2_loss(
                 params, batch, key, student_apply=apply, sched=sched,
                 solver=solver, cfg=cfg,
-            )
-            return float(l)
+            )[0]
+        )
+
+        def loss_of(batch):
+            return float(jloss(batch))
 
         l0 = loss_of(base)
         in_band_zeroed = dict(base, score=base["score"].at[0].set(0.0))
@@ -115,15 +118,19 @@ class TestLCDV2:
         cfg = LCDV2Config(w_embedding_dim=8)
         batch = {k: jnp.asarray(v) for k, v in v2_batch().items()}
         key = jax.random.PRNGKey(0)
-        l_online, _ = lcd_v2_loss(
-            params, batch, key, student_apply=apply, sched=sched, solver=solver,
-            cfg=cfg,
-        )
+        l_online, _ = jax.jit(
+            lambda p: lcd_v2_loss(
+                p, batch, key, student_apply=apply, sched=sched,
+                solver=solver, cfg=cfg,
+            )
+        )(params)
         ema = jax.tree.map(lambda p: p * 0.5, params)
-        l_ema, _ = lcd_v2_loss(
-            params, batch, key, student_apply=apply, target_params=ema,
-            sched=sched, solver=solver, cfg=cfg,
-        )
+        l_ema, _ = jax.jit(
+            lambda p, t: lcd_v2_loss(
+                p, batch, key, student_apply=apply, target_params=t,
+                sched=sched, solver=solver, cfg=cfg,
+            )
+        )(params, ema)
         assert float(l_online) != pytest.approx(float(l_ema), rel=1e-6)
 
 
@@ -166,9 +173,11 @@ class TestMotion:
         z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8, 4))
         z_ex = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8, 8, 4))
         ctx = jnp.ones((1, 7, 16))
-        score, cond_out = motion_prior_score(
-            f, params, z, jnp.array([900]), z_ex, ctx, ctx
-        )
+        score, cond_out = jax.jit(
+            lambda z_, z_ex_: motion_prior_score(
+                f, params, z_, jnp.array([900]), z_ex_, ctx, ctx
+            )
+        )(z, z_ex)
         assert score.shape == z.shape
         assert float(jnp.abs(score).sum()) > 0
         assert cond_out.shape == z.shape

@@ -9,6 +9,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
 import jax.numpy as jnp  # noqa: E402
 
 REF = "/root/reference"
@@ -73,7 +74,7 @@ class TestViCLIPVisionParity:
         x = rng.randn(1, 3, 4, 224, 224).astype(np.float32)
         with torch.no_grad():
             ref_out = ref(torch.from_numpy(x)).numpy()
-        out = model.apply(
+        out = jax.jit(model.apply)(
             {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 4, 1))
         )
         np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-3, rtol=1e-3)
@@ -104,5 +105,5 @@ class TestViCLIPTextParity:
         toks[1, :4] = [49406, 320, 49407, 0]
         with torch.no_grad():
             ref_out = ref(torch.from_numpy(toks)).numpy()
-        out = model.apply({"params": params}, jnp.asarray(toks.astype(np.int32)))
+        out = jax.jit(model.apply)({"params": params}, jnp.asarray(toks.astype(np.int32)))
         np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=1e-3)

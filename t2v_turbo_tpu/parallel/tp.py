@@ -119,6 +119,11 @@ def tp_param_shardings(
     the GroupNorm group count (32), the condition under which the
     between-conv GN stats stay shard-local (module docstring)."""
     model_n = mesh.shape.get("model", 1)
+    if "model" not in mesh.shape or model_n <= 1:
+        # no "model" axis (or a trivial one): emitting specs that NAME the
+        # axis would make NamedSharding construction raise on every kernel
+        rep = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: rep, params)
     conv_channels = conv_channels and 32 % model_n == 0
 
     def to_sharding(path, leaf):

@@ -113,7 +113,14 @@ def adamw_q8_states(
 
     def update(grads, state, params=None):
         count = state.count + 1
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # schedules evaluate at the PRE-increment count, matching
+        # optax.scale_by_learning_rate — the adamw/adamw8bit paths must see
+        # the identical warmup/cosine sequence for like-for-like benches
+        lr = (
+            learning_rate(state.count)
+            if callable(learning_rate)
+            else learning_rate
+        )
 
         def upd(g, mq, nq, p):
             g = g.astype(jnp.float32)
@@ -184,7 +191,13 @@ def is_temporal_param(path_segments) -> bool:
     TemporalTransformer modules get their own learning rate).
 
     In the flax tree, temporal transformers sit at layer index 2 of each
-    attention-bearing block plus init_attn."""
+    attention-bearing block plus init_attn.
+
+    Assumes the standard VC2 layout (temporal_attention=True, the only
+    configuration the v1/v2 trainers build): with temporal attention OFF,
+    index _2 would instead be a ResBlock / Upsample at some levels and
+    this predicate would mislabel them — pass an explicit label fn to
+    _scaled_by_label for such configs."""
     import re
 
     for seg in path_segments:
@@ -249,9 +262,21 @@ def make_v2_optimizer(
         if temporal_learning_rate is not None
         else learning_rate
     )
+    if float(learning_rate) == 0.0:
+        if float(t_lr) != 0.0:
+            raise ValueError(
+                "make_v2_optimizer expresses the temporal group as a scale "
+                "of the base lr, so base learning_rate=0 with a nonzero "
+                "temporal lr is inexpressible here — swap the roles (set "
+                "learning_rate to the temporal lr and freeze the rest via "
+                "a custom label fn) or use make_grouped_optimizer."
+            )
+        t_ratio = 0.0
+    else:
+        t_ratio = float(t_lr) / float(learning_rate)
     scales = {
         "base": 1.0,
-        "temporal": float(t_lr) / float(learning_rate),
+        "temporal": t_ratio,
         "frozen": 0.0,
     }
     inner = make_optimizer(name, learning_rate, **kw)
@@ -346,6 +371,12 @@ def make_grouped_optimizer(
     unset. Same fused single-adam design as make_v2_optimizer."""
     if temporal_learning_rate is None:
         return make_optimizer(name, learning_rate, **kw)
+    if float(learning_rate) == 0.0:
+        raise ValueError(
+            "make_grouped_optimizer scales the temporal group off the base "
+            "lr; base learning_rate=0 with a temporal lr is inexpressible "
+            "in the fused single-adam design."
+        )
 
     return _scaled_by_label(
         make_optimizer(name, learning_rate, **kw),

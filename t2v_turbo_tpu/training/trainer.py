@@ -204,52 +204,112 @@ class LCDTrainer:
             return apply_fn
 
         self._frozen = frozen
-        opt_state = optimizer.init(trainable)
-        self.state = {
-            "trainable": trainable,
-            "opt_state": opt_state,
-            "step": jnp.zeros([], jnp.int32),
-        }
-        if cfg.ema_decay is not None:
-            ema_src = (
-                trainable if cfg.ema_path is None else trainable[cfg.ema_path]
-            )
-            self.state["ema"] = jax.tree.map(jnp.copy, ema_src)
         # Commit state + frozen to the mesh. Default: replicated (DP shards
-        # the batch, not the params). cfg.fsdp: every large leaf sharded
-        # over "data" (parallel/fsdp.py) — params, Adam moments, EMA, and
-        # the frozen towers — XLA all-gathers weights per layer and
-        # reduce-scatters grads. Without an explicit placement the first
-        # step takes UNCOMMITTED inputs but returns committed ones, so the
-        # second call has a different jit signature and recompiles the
-        # whole multi-minute step program. Leaves the caller already
-        # committed (e.g. a TP-sharded teacher via shard_params_tp) are
-        # left alone — re-putting them would undo a deliberate layout.
+        # the batch, not the params); leaves the caller already committed
+        # (e.g. a TP-sharded teacher via shard_params_tp) are left alone.
+        # Without an explicit placement the first step takes UNCOMMITTED
+        # inputs but returns committed ones, so the second call has a
+        # different jit signature and recompiles the whole multi-minute
+        # step program.
+        #
+        # cfg.fsdp: every large leaf sharded over "data" (parallel/fsdp.py)
+        # — params, Adam moments, EMA, and the frozen towers — XLA
+        # all-gathers weights per layer and reduce-scatters grads. Two
+        # rules matter at full size:
+        #  * committed leaves are NOT skipped — FSDP composes AROUND a
+        #    deliberate layout (a TP-sharded kernel keeps its "model" dim
+        #    and additionally shards a free dim over "data"); silently
+        #    running replicated because the caller pre-committed params
+        #    would OOM a 16 GB chip with no hint,
+        #  * the optimizer/EMA trees must NEVER materialize unsharded
+        #    (f32 Adam moments for the 1.41B UNet are ~11 GB — more than
+        #    the chip): the state structure is eval_shape'd, shardings
+        #    derived from the abstract tree, and jit(out_shardings=...)
+        #    produces the real tree already sharded.
         rep = NamedSharding(self.mesh, P())
         if cfg.fsdp:
-            from ..parallel.fsdp import fsdp_shardings
+            from ..parallel.fsdp import fsdp_shardings, fsdp_spec_for
 
-            state_sh = fsdp_shardings(
-                self.mesh, self.state, min_size=cfg.fsdp_min_size
+            data_n = self.mesh.shape.get("data", 1)
+
+            def compose_sh(a):
+                base = (
+                    a.sharding.spec
+                    if isinstance(a, jax.Array)
+                    and getattr(a, "committed", False)
+                    and isinstance(a.sharding, NamedSharding)
+                    else None
+                )
+                return NamedSharding(
+                    self.mesh,
+                    fsdp_spec_for(
+                        a, data_n, base=base, min_size=cfg.fsdp_min_size
+                    ),
+                )
+
+            def put_fsdp(tree):
+                sh = jax.tree.map(compose_sh, tree)
+                return jax.tree.map(
+                    lambda a, s: a
+                    if isinstance(a, jax.Array) and a.sharding == s
+                    else jax.device_put(a, s),
+                    tree,
+                    sh,
+                )
+
+            trainable = put_fsdp(trainable)
+            self._frozen = put_fsdp(self._frozen)
+            opt_shapes = jax.eval_shape(optimizer.init, trainable)
+            # moments get pure-FSDP specs (no TP base): where a param is
+            # TP+FSDP its moment reshards inside the update — correct, and
+            # the moment memory still scales 1/data_n
+            opt_sh = fsdp_shardings(
+                self.mesh, opt_shapes, min_size=cfg.fsdp_min_size
             )
-            frozen_sh = fsdp_shardings(
-                self.mesh, self._frozen, min_size=cfg.fsdp_min_size
+            opt_state = jax.jit(optimizer.init, out_shardings=opt_sh)(
+                trainable
             )
+            self.state = {
+                "trainable": trainable,
+                "opt_state": opt_state,
+                "step": jax.device_put(jnp.zeros([], jnp.int32), rep),
+            }
+            if cfg.ema_decay is not None:
+                ema_src = (
+                    trainable
+                    if cfg.ema_path is None
+                    else trainable[cfg.ema_path]
+                )
+                ema_sh = jax.tree.map(lambda a: a.sharding, ema_src)
+                self.state["ema"] = jax.jit(
+                    lambda t: jax.tree.map(jnp.copy, t),
+                    out_shardings=ema_sh,
+                )(ema_src)
         else:
-            state_sh = jax.tree.map(lambda _: rep, self.state)
-            frozen_sh = jax.tree.map(lambda _: rep, self._frozen)
+            opt_state = optimizer.init(trainable)
+            self.state = {
+                "trainable": trainable,
+                "opt_state": opt_state,
+                "step": jnp.zeros([], jnp.int32),
+            }
+            if cfg.ema_decay is not None:
+                ema_src = (
+                    trainable
+                    if cfg.ema_path is None
+                    else trainable[cfg.ema_path]
+                )
+                self.state["ema"] = jax.tree.map(jnp.copy, ema_src)
 
-        def commit(tree, sh):
-            return jax.tree.map(
-                lambda a, s: a
-                if isinstance(a, jax.Array) and a.committed
-                else jax.device_put(a, s),
-                tree,
-                sh,
-            )
+            def commit(tree):
+                return jax.tree.map(
+                    lambda a: a
+                    if isinstance(a, jax.Array) and a.committed
+                    else jax.device_put(a, rep),
+                    tree,
+                )
 
-        self.state = commit(self.state, state_sh)
-        self._frozen = commit(self._frozen, frozen_sh)
+            self.state = commit(self.state)
+            self._frozen = commit(self._frozen)
 
         def loss_fn(trainable, batch, key, fr, ema=None):
             rf, vrf = reward_fn, video_reward_fn
@@ -428,6 +488,11 @@ class LCDTrainer:
         return int(latest)
 
     def save(self, step: int):
+        # idempotent: a relaunch of a finished job (resume -> start ==
+        # max_steps, loop never runs) re-saves its own final step, which
+        # orbax rejects with StepAlreadyExists — make that a no-op restart
+        if step in (self.ckpt_mgr.all_steps() or []):
+            return
         self.ckpt_mgr.save(step, args=ocp.args.StandardSave(self.state))
         self.ckpt_mgr.wait_until_finished()
 
@@ -471,25 +536,40 @@ class LCDTrainer:
         cfg = self.cfg
         start = self.resume_if_available()
         max_steps = max_steps or cfg.max_steps
-        key = jax.random.PRNGKey(cfg.seed + 1)
+        # fold the resume step in: a preempt-resume cycle must NOT replay
+        # the step-0 noise/timestep draws (that would train forever on the
+        # same k random draws under a supervisor that restarts every k)
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start)
         last_metrics = {}
         last_step = start
         hb_path = os.path.join(cfg.output_dir, "heartbeat.json")
         # overlap host-side batch prep + H2D transfer with device compute
         prefetch = DevicePrefetcher(data_iter, put=self.shard_batch, depth=2)
+        t_window = time.perf_counter()
+        steps_in_window = 0
         with self.mesh, Heartbeat(hb_path) as hb, GracefulShutdown() as stop:
             for step in range(start, max_steps):
                 if stop.requested:
                     break
-                batch = next(prefetch)
+                try:
+                    batch = next(prefetch)
+                except StopIteration:
+                    # finite dataset shorter than max_steps: stop cleanly
+                    # (the final checkpoint below must still run)
+                    break
                 key, sub = jax.random.split(key)
-                t0 = time.perf_counter()
                 self.state, metrics = self._step_jit(self.state, batch, sub)
                 last_step = step + 1
+                steps_in_window += 1
                 hb.update(last_step)
                 if last_step % cfg.log_every == 0 or step == start:
+                    # float() fences the device; dispatch is async, so a
+                    # single-iteration timer would measure the whole queued
+                    # window — divide the fenced window by its step count
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    dt = time.perf_counter() - t0
+                    now = time.perf_counter()
+                    dt = (now - t_window) / steps_in_window
+                    t_window, steps_in_window = now, 0
                     last_metrics = self._log(last_step, metrics, dt)
                 if last_step % cfg.checkpoint_every == 0:
                     self.save(last_step)

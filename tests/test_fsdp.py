@@ -188,3 +188,77 @@ class TestFSDPTrainer:
                 tr2.state, _batch(mesh, seed=1), jax.random.PRNGKey(1)
             )
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestFSDPInitPlacement:
+    def test_committed_replicated_params_still_shard(self, tmp_path):
+        """fsdp=True must never silently run replicated: params the caller
+        already committed (e.g. device_put(P()) after checkpoint surgery)
+        are re-placed with FSDP shardings composed around their layout,
+        not skipped."""
+        student, sp, teacher, tp = tiny_student_pair()
+        mesh = make_mesh()
+        rep = NamedSharding(mesh, P())
+        sp = jax.device_put(sp, rep)  # committed, replicated
+        assert all(a.committed for a in jax.tree.leaves(sp))
+        sched = DiffusionSchedule.create()
+        solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+        tr = LCDTrainer(
+            student_apply=lambda p, z, t, c, fps=None, timestep_cond=None:
+                student.apply(p, z, t, c, fps=fps, timestep_cond=timestep_cond),
+            teacher_apply=lambda p, z, t, c, fps=None: teacher.apply(
+                p, z, t, c, fps=fps),
+            teacher_params=jax.device_put(tp, rep),
+            student_params=sp,
+            sched=sched, solver=solver,
+            lcd_cfg=LCDConfig(w_embedding_dim=8),
+            optimizer=make_optimizer("adamw", 1e-3),
+            cfg=TrainerConfig(output_dir=str(tmp_path), lora_rank=None,
+                              fsdp=True, fsdp_min_size=0),
+            mesh=mesh,
+        )
+        for tree in (tr.state["trainable"], tr.state["opt_state"],
+                     tr._frozen):
+            specs = [
+                a.sharding.spec for a in jax.tree.leaves(tree)
+                if hasattr(a, "sharding") and a.ndim > 0
+            ]
+            assert any(s != P() for s in specs), "silently replicated"
+        # and the sharded state actually steps
+        with mesh:
+            tr.state, m = tr._step_jit(tr.state, _batch(mesh),
+                                       jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestRunLoopEdges:
+    def test_finite_iterator_saves_final_checkpoint(self, tmp_path):
+        """Data exhaustion before max_steps stops run() cleanly and the
+        final checkpoint is still written (StopIteration must not escape
+        the loop)."""
+        tr, mesh = _mk_trainer(tmp_path, fsdp=False, max_steps=50)
+
+        def three_batches():
+            rng = np.random.RandomState(0)
+            for _ in range(3):
+                yield {
+                    "latents": rng.randn(8, 4, 8, 8, 4).astype(np.float32),
+                    "ctx": rng.randn(8, 7, 16).astype(np.float32),
+                    "uncond_ctx": np.zeros((8, 7, 16), np.float32),
+                    "fps": np.full((8,), 16.0, np.float32),
+                }
+
+        metrics = tr.run(three_batches())
+        assert metrics["step"] <= 3
+        assert tr.ckpt_mgr.latest_step() == 3  # final save happened
+
+    def test_save_is_idempotent(self, tmp_path):
+        """Relaunching a finished job re-saves its own final step; orbax
+        would raise StepAlreadyExists — save() must no-op instead."""
+        tr, mesh = _mk_trainer(tmp_path, fsdp=False)
+        with mesh:
+            tr.state, _ = tr._step_jit(tr.state, _batch(mesh),
+                                       jax.random.PRNGKey(0))
+        tr.save(1)
+        tr.save(1)  # must not raise
+        assert tr.ckpt_mgr.latest_step() == 1

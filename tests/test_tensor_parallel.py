@@ -189,3 +189,17 @@ class TestHeadBoundaryGuard:
             if sh.spec == ():
                 continue
             assert "/ff/" in ps, f"attention kernel still split: {ps}"
+
+
+class TestNoModelAxis:
+    def test_mesh_without_model_axis_replicates(self):
+        """A mesh built without a "model" axis must yield replicated specs
+        — specs naming the absent axis would crash NamedSharding
+        construction for every attention kernel."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        _, params, *_ = _setup()
+        devs = np.array(jax.devices()[:8]).reshape(4, 2)
+        mesh = Mesh(devs, ("data", "seq"))
+        sh = tp_param_shardings(mesh, params, conv_channels=True)
+        assert all(s.spec == P() for s in jax.tree.leaves(sh))

@@ -382,3 +382,34 @@ class TestStableStepSignature:
         assert jitted._cache_size() == 1
         tr.state, _ = tr._step_jit(tr.state, batch, key)
         assert jitted._cache_size() == 1, "second step recompiled"
+
+
+class TestScheduleAlignment:
+    def test_q8_schedule_matches_optax_counting(self):
+        """LR schedules must evaluate at the PRE-increment count in every
+        optimizer path (optax convention): with a warmup starting at 0 the
+        first adamw8bit update is exactly zero, like optax.adamw."""
+        import optax
+
+        from t2v_turbo_tpu.training.optim import adamw_q8_states
+
+        sched = optax.linear_schedule(0.0, 1e-2, transition_steps=4)
+        params = {"w": jnp.ones((4,))}
+        grads = {"w": jnp.ones((4,))}
+        for tx in (optax.adamw(sched), adamw_q8_states(sched)):
+            state = tx.init(params)
+            u1, state = tx.update(grads, state, params)
+            assert float(jnp.abs(u1["w"]).max()) == 0.0  # lr(0) == 0
+            u2, state = tx.update(grads, state, params)
+            assert float(jnp.abs(u2["w"]).max()) > 0.0  # lr(1) > 0
+
+    def test_zero_base_lr_with_temporal_lr_raises(self):
+        from t2v_turbo_tpu.training.optim import (
+            make_grouped_optimizer,
+            make_v2_optimizer,
+        )
+
+        with pytest.raises(ValueError):
+            make_v2_optimizer("adamw", 0.0, temporal_learning_rate=1e-4)
+        with pytest.raises(ValueError):
+            make_grouped_optimizer("adamw", 0.0, temporal_learning_rate=1e-4)

@@ -527,9 +527,16 @@ def profile_bench():
         run(i + 1)
     jax.profiler.stop_trace()
     top = top_ops_from_trace(log_dir, k=15)
-    print("# top device ops over 2x 4-step sampling loops:", file=sys.stderr)
-    for name, ms, pct in top:
-        print(f"#   {pct:5.1f}%  {ms:8.2f} ms  {name}", file=sys.stderr)
+    print(
+        "# top device op groups over 2x 4-step sampling loops "
+        "(pct of program span):",
+        file=sys.stderr,
+    )
+    for name, ms, pct, n_ev in top:
+        print(
+            f"#   {pct:5.1f}%  {ms:8.2f} ms  {n_ev:6d}x  {name}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -537,8 +544,9 @@ def profile_bench():
                 "value": round(top[0][2], 1) if top else 0,
                 "unit": "%",
                 "top_ops": [
-                    {"name": n, "ms": round(ms, 2), "pct": round(p, 1)}
-                    for n, ms, p in top
+                    {"name": n, "ms": round(ms, 2), "pct": round(p, 1),
+                     "count": c}
+                    for n, ms, p, c in top
                 ],
             }
         )

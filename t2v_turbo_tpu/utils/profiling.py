@@ -81,10 +81,22 @@ def top_ops_from_trace(log_dir: str, k: int = 10) -> list:
     """Aggregate per-op device time from a jax.profiler trace directory.
 
     Parses the xplane.pb with jax.profiler.ProfileData (no tensorboard
-    needed) and returns [(op_name, total_ms, pct), ...] for the top-k ops
-    by device time — the direct evidence for 'which ops own the step'
-    (PERF_NOTES per-op breakdown)."""
+    needed). Only the device plane's "XLA Ops" line is counted (leaf op
+    executions); `while`/`conditional`/`call` spans are excluded because
+    they contain their bodies and would double-count, and the "Async XLA
+    Ops" line (copy-start prefetches that overlap compute) is excluded
+    from totals for the same reason. Ops are grouped by HLO instruction
+    base name — `%fusion.11702` -> `fusion`,
+    `%convert_reduce_fusion.753` -> `convert_reduce_fusion`,
+    `%_flash_attention_fwd_impl.71` -> `_flash_attention_fwd_impl` — which
+    is the fused-kind / custom-call-target granularity PERF_NOTES wants.
+
+    Returns [(group_name, total_ms, pct_of_module_time, event_count), ...]
+    for the top-k groups; pct is against the "XLA Modules" total (the
+    programs' wall span on the device), so the listed groups' pcts sum to
+    ~100 when the leaf ops fully tile the program."""
     import glob as _glob
+    import re as _re
 
     from jax.profiler import ProfileData
 
@@ -96,21 +108,30 @@ def top_ops_from_trace(log_dir: str, k: int = 10) -> list:
         return []
     p = ProfileData.from_file(paths[-1])
     totals: Dict[str, float] = {}
+    counts: Dict[str, int] = {}
+    module_ns = 0.0
     for plane in p.planes:
-        name = plane.name or ""
-        is_device = "device" in name.lower() or "tpu" in name.lower()
+        if not (plane.name or "").startswith("/device:"):
+            continue
         for line in plane.lines:
-            # host planes: only the XLA client line carries op events
-            if not is_device and "Client" not in (line.name or ""):
+            lname = line.name or ""
+            if lname == "XLA Modules":
+                module_ns += sum(ev.duration_ns or 0.0 for ev in line.events)
+            if lname != "XLA Ops":
                 continue
             for ev in line.events:
                 en = ev.name or ""
-                if en.startswith("end:") or en.startswith("$") or not en:
+                if not en:
                     continue
-                totals[en] = totals.get(en, 0.0) + (ev.duration_ns or 0.0)
-    total = sum(totals.values()) or 1.0
+                tok = en.split(" ", 1)[0] if en.startswith("%") else en.split("(", 1)[0]
+                base = _re.sub(r"\.\d+$", "", tok.lstrip("%"))
+                if base in ("while", "conditional", "call"):
+                    continue
+                totals[base] = totals.get(base, 0.0) + (ev.duration_ns or 0.0)
+                counts[base] = counts.get(base, 0) + 1
+    total = module_ns or sum(totals.values()) or 1.0
     top = sorted(totals.items(), key=lambda kv: -kv[1])[:k]
-    return [(n, d / 1e6, 100.0 * d / total) for n, d in top]
+    return [(n, d / 1e6, 100.0 * d / total, counts[n]) for n, d in top]
 
 
 class step_timer:

@@ -65,12 +65,18 @@ def build_models(args):
     """Models + geometry for the requested operating point (no weights).
 
     Returns (unet, vae, text_model, meta) where meta carries the latent /
-    context geometry the program shapes derive from. Shared with
-    tests so an exported tiny program can be replayed against a live
-    pipeline built from the identical modules.
+    context geometry the program shapes derive from PLUS the schedule /
+    scale_factor the loaded --config defines: warmed programs must bake
+    the SAME diffusion constants generate/serve bake, or the persistent
+    cache keys silently never match production (any config whose
+    linear_start/linear_end/timesteps or scale_factor differs from the
+    defaults would otherwise warm a dead cache entry). Shared with tests
+    so an exported tiny program can be replayed against a live pipeline
+    built from the identical modules.
     """
     import jax.numpy as jnp
 
+    from ..diffusion import DiffusionSchedule
     from ..models.clip_text import CLIPTextConfig, CLIPTextModel
     from ..models.unet_vc2 import UNetConfig, UNetModel
     from ..models.vae import AutoencoderKL, VAEConfig
@@ -86,11 +92,15 @@ def build_models(args):
         tcfg = CLIPTextConfig(
             vocab_size=50, width=16, heads=2, layers=2, context_length=8
         )
+        schedule = DiffusionSchedule.create()
+        scale_factor = 0.18215
     else:
         from ..config import load_vc2_config
 
         spec = load_vc2_config(args.config, time_cond_proj_dim=256)
         ucfg, vcfg, tcfg = spec.unet, spec.vae, CLIPTextConfig()
+        schedule = spec.make_schedule()
+        scale_factor = spec.scale_factor
     unet = UNetModel(cfg=ucfg, dtype=dtype)
     vae = AutoencoderKL(cfg=vcfg, dtype=dtype)
     text_model = CLIPTextModel(cfg=tcfg, dtype=dtype)
@@ -101,6 +111,8 @@ def build_models(args):
         "ctx_dim": ucfg.context_dim,
         "in_channels": ucfg.in_channels,
         "z_channels": vcfg.embed_dim,
+        "schedule": schedule,
+        "scale_factor": scale_factor,
     }
     return unet, vae, text_model, meta
 
@@ -115,7 +127,6 @@ def build_programs(args):
     import jax
     import jax.numpy as jnp
 
-    from ..diffusion import DiffusionSchedule
     from ..pipelines.vc2 import T2VTurboVC2Pipeline
 
     unet, vae, text_model, meta = build_models(args)
@@ -158,8 +169,8 @@ def build_programs(args):
     pipe = T2VTurboVC2Pipeline(
         unet=unet, unet_params=unet_abs, vae=vae, vae_params=vae_abs,
         text_model=text_model, text_params=text_abs, tokenizer=None,
-        schedule=DiffusionSchedule.create(), vae_scale=meta["vae_scale"],
-        dtype=dtype,
+        schedule=meta["schedule"], scale_factor=meta["scale_factor"],
+        vae_scale=meta["vae_scale"], dtype=dtype,
     )
     sample = pipe._sample_fn(
         args.steps, args.lcm_origin_steps, args.use_motion_cond,

@@ -31,12 +31,28 @@ StateDict = Mapping[str, "np.ndarray"]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, Array]:
-    """torch.load a checkpoint to numpy (CPU, no grad state)."""
+    """torch.load a checkpoint to numpy (CPU, no grad state).
+
+    Floating tensors are normalized to float32 regardless of the
+    checkpoint's storage dtype (fp16/bf16 releases exist for several of
+    the reference's towers): the jitted programs' param avals must match
+    the flax-init trees that `apps/warmup.py` AOT-lowers from, or every
+    warmed persistent-cache entry would silently miss. bf16 torch tensors
+    also have no direct numpy dtype, so the upcast doubles as the only
+    portable conversion. Integer/bool buffers keep their dtype.
+    """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+    def _to_np(v):
+        if hasattr(v, "numpy"):
+            return (v.float() if v.is_floating_point() else v).numpy()
+        a = np.asarray(v)
+        return a.astype(np.float32) if np.issubdtype(a.dtype, np.floating) else a
+
+    return {k: _to_np(v) for k, v in sd.items()}
 
 
 def split_vc2_checkpoint(sd: StateDict):

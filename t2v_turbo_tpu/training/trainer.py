@@ -74,8 +74,9 @@ class TrainerConfig:
     # relative mantissa rounding on g feeds moment accumulators that the
     # reference itself quantizes far harder (bitsandbytes int8 m/v,
     # train_t2v_turbo_v1_lora.py:764-775). Convergence-tested against f32
-    # grads in test_training.py. Caveat: grad_accum_steps>1 would also
-    # accumulate micro-grads in bf16 — prefer f32 grads when accumulating.
+    # grads in test_training.py. grad_accum_steps>1 would also accumulate
+    # micro-grads in bf16, so LCDTrainer rejects that combination at
+    # construction — use f32 grads when accumulating.
     grads_bf16: bool = False
     # Extra XLA compiler options for the train-step jit (opaque key ->
     # value, forwarded per-compile). The useful one on memory-marginal
@@ -150,6 +151,19 @@ class LCDTrainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         accum = max(1, cfg.grad_accum_steps)
+        if cfg.grads_bf16 and accum > 1:
+            # MultiSteps accumulates in the grad dtype, so bf16 grads would
+            # sum K micro-grads at 8-bit mantissa — a silent quality hole the
+            # docstring used to merely warn about. Promoting the accumulator
+            # to f32 would materialize the very tree grads_bf16 exists to
+            # avoid, so there is no configuration that delivers both; fail
+            # loudly instead.
+            raise ValueError(
+                "grads_bf16=True with grad_accum_steps>1 would accumulate "
+                "micro-gradients in bfloat16 (MultiSteps sums in the grad "
+                "dtype). Use f32 grads when accumulating, or accum=1 with "
+                "bf16 grads."
+            )
         if accum > 1:
             # clip the *accumulated* grads (reference clips after
             # accumulate, train_t2v_turbo_v1_lora.py:1192), so the norm clip

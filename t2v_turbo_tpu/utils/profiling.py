@@ -107,28 +107,37 @@ def top_ops_from_trace(log_dir: str, k: int = 10) -> list:
     if not paths:
         return []
     p = ProfileData.from_file(paths[-1])
-    totals: Dict[str, float] = {}
-    counts: Dict[str, int] = {}
-    module_ns = 0.0
-    for plane in p.planes:
-        if not (plane.name or "").startswith("/device:"):
-            continue
-        for line in plane.lines:
-            lname = line.name or ""
-            if lname == "XLA Modules":
-                module_ns += sum(ev.duration_ns or 0.0 for ev in line.events)
-            if lname != "XLA Ops":
+
+    def _scan(device_only: bool):
+        totals: Dict[str, float] = {}
+        counts: Dict[str, int] = {}
+        module_ns = 0.0
+        for plane in p.planes:
+            if device_only and not (plane.name or "").startswith("/device:"):
                 continue
-            for ev in line.events:
-                en = ev.name or ""
-                if not en:
+            for line in plane.lines:
+                lname = line.name or ""
+                if lname == "XLA Modules":
+                    module_ns += sum(ev.duration_ns or 0.0 for ev in line.events)
+                if lname != "XLA Ops":
                     continue
-                tok = en.split(" ", 1)[0] if en.startswith("%") else en.split("(", 1)[0]
-                base = _re.sub(r"\.\d+$", "", tok.lstrip("%"))
-                if base in ("while", "conditional", "call"):
-                    continue
-                totals[base] = totals.get(base, 0.0) + (ev.duration_ns or 0.0)
-                counts[base] = counts.get(base, 0) + 1
+                for ev in line.events:
+                    en = ev.name or ""
+                    if not en:
+                        continue
+                    tok = en.split(" ", 1)[0] if en.startswith("%") else en.split("(", 1)[0]
+                    base = _re.sub(r"\.\d+$", "", tok.lstrip("%"))
+                    if base in ("while", "conditional", "call"):
+                        continue
+                    totals[base] = totals.get(base, 0.0) + (ev.duration_ns or 0.0)
+                    counts[base] = counts.get(base, 0) + 1
+        return totals, counts, module_ns
+
+    totals, counts, module_ns = _scan(device_only=True)
+    if not totals:
+        # CPU-only runs put the XLA lines on the host client plane, not a
+        # '/device:*' plane — fall back so --profile still reports there.
+        totals, counts, module_ns = _scan(device_only=False)
     total = module_ns or sum(totals.values()) or 1.0
     top = sorted(totals.items(), key=lambda kv: -kv[1])[:k]
     return [(n, d / 1e6, 100.0 * d / total, counts[n]) for n, d in top]

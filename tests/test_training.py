@@ -152,6 +152,13 @@ class TestTrainer:
         )
         assert d < 5e-2
 
+    def test_bf16_grads_reject_accumulation(self, tmp_path):
+        """grads_bf16 + grad_accum_steps>1 would sum micro-grads at 8-bit
+        mantissa (MultiSteps accumulates in the grad dtype) — the trainer
+        must refuse the combination loudly instead of silently degrading."""
+        with pytest.raises(ValueError, match="grads_bf16"):
+            build_trainer(tmp_path, grads_bf16=True, grad_accum_steps=2)
+
     def test_split_step_equals_fused(self, tmp_path):
         """TrainerConfig.split_step (grad program + apply program — the
         final memory lever fitting full-size v2 on one 16 GB chip,

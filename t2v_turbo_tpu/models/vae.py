@@ -196,6 +196,37 @@ class AutoencoderKL(nn.Module):
         return self.decode(z), mean, logvar
 
 
+def posterior_kl(mean, logvar, other_mean=None, other_logvar=None):
+    """KL of the diagonal-Gaussian posterior, reduced over all non-batch axes
+    (reference lvdm/distributions.py:44-61). Against N(0, I) when `other_*`
+    is None, else against another diagonal Gaussian."""
+    axes = tuple(range(1, mean.ndim))
+    if other_mean is None:
+        return 0.5 * jnp.sum(
+            jnp.square(mean) + jnp.exp(logvar) - 1.0 - logvar, axis=axes
+        )
+    return 0.5 * jnp.sum(
+        jnp.square(mean - other_mean) * jnp.exp(-other_logvar)
+        + jnp.exp(logvar - other_logvar)
+        - 1.0
+        - logvar
+        + other_logvar,
+        axis=axes,
+    )
+
+
+def posterior_nll(mean, logvar, sample, axes=None):
+    """Negative log-likelihood of `sample` under the diagonal-Gaussian
+    posterior (reference lvdm/distributions.py:63-70)."""
+    if axes is None:
+        axes = tuple(range(1, mean.ndim))
+    log2pi = jnp.log(2.0 * jnp.pi)
+    return 0.5 * jnp.sum(
+        log2pi + logvar + jnp.square(sample - mean) * jnp.exp(-logvar),
+        axis=axes,
+    )
+
+
 def encode_video(
     vae: AutoencoderKL,
     params,

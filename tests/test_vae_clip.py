@@ -96,6 +96,54 @@ class TestVAE:
         assert float(jnp.abs(z_s1 - z_s2).max()) > 0  # stochastic
         assert float(jnp.abs(z_mode - z_s1).max()) > 0
 
+    def test_posterior_kl_nll(self):
+        """Closed-form oracle for posterior_kl / posterior_nll (reference
+        lvdm/distributions.py:44-70)."""
+        from t2v_turbo_tpu.models.vae import posterior_kl, posterior_nll
+
+        rng = np.random.RandomState(0)
+        mean = rng.randn(2, 3, 3, 4).astype(np.float32)
+        logvar = rng.randn(2, 3, 3, 4).astype(np.float32)
+
+        # standard-normal posterior: kl vs N(0,I) is 0, kl vs itself is 0
+        zeros = np.zeros_like(mean)
+        np.testing.assert_allclose(
+            np.asarray(posterior_kl(zeros, zeros)), 0.0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(posterior_kl(mean, logvar, mean, logvar)), 0.0, atol=1e-5
+        )
+
+        # generic case vs the scalar closed form, elementwise-summed
+        var = np.exp(logvar)
+        want = 0.5 * (mean**2 + var - 1.0 - logvar).sum(axis=(1, 2, 3))
+        np.testing.assert_allclose(
+            np.asarray(posterior_kl(mean, logvar)), want, rtol=1e-5
+        )
+        m2 = rng.randn(*mean.shape).astype(np.float32)
+        lv2 = rng.randn(*mean.shape).astype(np.float32)
+        want2 = 0.5 * (
+            (mean - m2) ** 2 / np.exp(lv2) + var / np.exp(lv2) - 1.0 - logvar + lv2
+        ).sum(axis=(1, 2, 3))
+        np.testing.assert_allclose(
+            np.asarray(posterior_kl(mean, logvar, m2, lv2)), want2, rtol=1e-5
+        )
+
+        # nll at the mean of a unit Gaussian is 0.5*log(2*pi)*D per example
+        d = mean[0].size
+        np.testing.assert_allclose(
+            np.asarray(posterior_nll(mean, zeros, mean)),
+            0.5 * np.log(2 * np.pi) * d,
+            rtol=1e-6,
+        )
+        sample = rng.randn(*mean.shape).astype(np.float32)
+        want3 = 0.5 * (
+            np.log(2 * np.pi) + logvar + (sample - mean) ** 2 / var
+        ).sum(axis=(1, 2, 3))
+        np.testing.assert_allclose(
+            np.asarray(posterior_nll(mean, logvar, sample)), want3, rtol=1e-5
+        )
+
 
 class TestCLIPText:
     def test_tiny_forward(self):

@@ -102,8 +102,10 @@ class TemporalTransformerMS(nn.Module):
         n, h, w, c = x_bt.shape
         t = n // batch
         residual = x_bt
-        x = GroupNorm(32, eps=1e-6, name="norm")(x_bt)
-        x = x.reshape(batch, t, h, w, c).transpose(0, 2, 3, 1, 4)
+        # diffusers normalizes the (B, C, T, H, W) tensor: GroupNorm stats
+        # span the WHOLE clip (T, H, W), not each frame — reshape first
+        x = GroupNorm(32, eps=1e-6, name="norm")(x_bt.reshape(batch, t, h, w, c))
+        x = x.transpose(0, 2, 3, 1, 4)
         x = x.reshape(batch * h * w, t, c)
         x = nn.Dense(self.n_heads * self.d_head, dtype=self.dtype, name="proj_in")(x)
         x = BasicTransformerBlock(

@@ -89,6 +89,43 @@ def _maybe_make_mesh(args):
                      seq=args.seq_shards, model=args.model_shards)
 
 
+def load_vc2_checkpoint_params(args, spec):
+    """Import (unet, vae, text) param pytrees from torch checkpoints.
+
+    Needs only the typed config (for key mapping) — no flax module is
+    constructed, so an AOT-artifact serving host (apps/serve.py
+    --artifacts) can load weights without any model code.
+    """
+    from ..io.torch_import import (
+        import_clip_text_params,
+        import_unet_params,
+        import_vae_params,
+        load_torch_state_dict,
+        split_vc2_checkpoint,
+    )
+
+    sd = load_torch_state_dict(args.checkpoint)
+    unet_sd, vae_sd, clip_sd = split_vc2_checkpoint(sd)
+    if args.unet_ckpt:
+        unet_sd = load_torch_state_dict(args.unet_ckpt)
+    unet_params = {"params": import_unet_params(unet_sd, spec.unet)}
+    if args.lora_ckpt:
+        if args.lora_ckpt.endswith(".npz"):
+            # this repo's trainer export (lora.save_lora_npz)
+            from ..lora import load_lora_npz, merge_lora
+
+            unet_params = merge_lora(unet_params, load_lora_npz(args.lora_ckpt))
+        else:
+            from ..io.lora_import import apply_lora_pt, load_lora_pt
+
+            unet_params = apply_lora_pt(
+                unet_params, load_lora_pt(args.lora_ckpt), spec.unet
+            )
+    vae_params = {"params": import_vae_params(vae_sd)}
+    text_params = {"params": import_clip_text_params(clip_sd)}
+    return unet_params, vae_params, text_params
+
+
 def build_pipeline(args):
     import jax
     import jax.numpy as jnp
@@ -111,35 +148,9 @@ def build_pipeline(args):
     tokenizer = CLIPTokenizer()
 
     if args.checkpoint:
-        from ..io.torch_import import (
-            import_clip_text_params,
-            import_unet_params,
-            import_vae_params,
-            load_torch_state_dict,
-            split_vc2_checkpoint,
+        unet_params, vae_params, text_params = load_vc2_checkpoint_params(
+            args, spec
         )
-
-        sd = load_torch_state_dict(args.checkpoint)
-        unet_sd, vae_sd, clip_sd = split_vc2_checkpoint(sd)
-        if args.unet_ckpt:
-            unet_sd = load_torch_state_dict(args.unet_ckpt)
-        unet_params = {"params": import_unet_params(unet_sd, spec.unet)}
-        if args.lora_ckpt:
-            if args.lora_ckpt.endswith(".npz"):
-                # this repo's trainer export (lora.save_lora_npz)
-                from ..lora import load_lora_npz, merge_lora
-
-                unet_params = merge_lora(
-                    unet_params, load_lora_npz(args.lora_ckpt)
-                )
-            else:
-                from ..io.lora_import import apply_lora_pt, load_lora_pt
-
-                unet_params = apply_lora_pt(
-                    unet_params, load_lora_pt(args.lora_ckpt), spec.unet
-                )
-        vae_params = {"params": import_vae_params(vae_sd)}
-        text_params = {"params": import_clip_text_params(clip_sd)}
     elif args.random_weights:
         import jax.random as jr
 

@@ -16,6 +16,11 @@ The pipeline's per-shape jit cache means the first request at a new
 (frames, steps) operating point pays compile; later requests are pure
 device time (the recompilation-discipline answer to the reference's
 user-facing knobs, SURVEY.md §7).
+
+With --artifacts DIR the server instead loads the `warmup --export`
+StableHLO programs (pipelines/artifact.py): no model code, no tracing, no
+compile on the serving host — requests are bound to the exported operating
+point and every request is pure device time from the first one.
 """
 
 from __future__ import annotations
@@ -114,6 +119,13 @@ def parse_args(argv=None):
     p.add_argument("--unet-ckpt", default=None)
     p.add_argument("--lora-ckpt", default=None)
     p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--artifacts", default=None, metavar="DIR",
+                   help="serve from `warmup --export DIR` StableHLO "
+                        "artifacts instead of live modules: no model code "
+                        "runs on this host, no tracing, no compile — the "
+                        "programs are deserialized and called as-is. "
+                        "Requests are bound to the artifact's operating "
+                        "point (steps/frames/height/width).")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--output-dir", default="outputs")
@@ -126,6 +138,88 @@ def parse_args(argv=None):
     p.add_argument("--seq-shards", type=int, default=1)
     p.add_argument("--model-shards", type=int, default=1)
     return p.parse_args(argv)
+
+
+def build_artifact_pipeline(args):
+    """ArtifactPipeline from --artifacts DIR + checkpoint-imported params.
+
+    The checkpoint path (--checkpoint/--unet-ckpt/--lora-ckpt) constructs
+    NO model modules — io/torch_import maps the torch key trees straight to
+    pytrees. --random-weights falls back to flax inits (smoke mode only;
+    that path does import the model code).
+    """
+    import sys
+
+    from ..pipelines.artifact import ArtifactPipeline
+    from ..utils.tokenizer import CLIPTokenizer
+
+    if args.checkpoint:
+        from ..config import load_vc2_config
+        from .generate import load_vc2_checkpoint_params
+
+        spec = load_vc2_config(args.config, time_cond_proj_dim=256)
+        unet_params, vae_params, text_params = load_vc2_checkpoint_params(
+            args, spec
+        )
+    elif args.random_weights:
+        # smoke mode: init random params MATCHING the artifact's operating
+        # point (this path does import the model code)
+        import json as _json
+
+        import jax
+        import jax.numpy as jnp
+
+        from . import warmup
+
+        with open(os.path.join(args.artifacts, "manifest.json")) as f:
+            op = _json.load(f)["operating_point"]
+        wargs = warmup.parse_args(
+            (["--tiny-model"] if op.get("tiny_model") else [])
+            + (["--f32"] if op["dtype"] == "float32" else [])
+            + ["--config", args.config]
+        )
+        unet, vae, text, meta = warmup.build_models(wargs)
+        dtype = jnp.dtype(op["dtype"])
+        b, t = op["batch"], op["frames"]
+        lh = op["height"] // op["vae_scale"]
+        lw = op["width"] // op["vae_scale"]
+        unet_params = jax.jit(lambda k: unet.init(
+            k, jnp.zeros((b, t, lh, lw, op["in_channels"]), dtype),
+            jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b, op["ctx_len"], op["ctx_dim"]), dtype),
+            fps=jnp.full((b,), 16.0),
+            timestep_cond=jnp.zeros((b, 256), dtype),
+        ))(jax.random.PRNGKey(0))
+        vae_params = jax.jit(lambda k: vae.init(
+            k, jnp.zeros((1, op["vae_scale"] * 8, op["vae_scale"] * 8, 3),
+                         dtype)))(jax.random.PRNGKey(1))
+        text_params = jax.jit(lambda k: text.init(
+            k, jnp.zeros((1, op["ctx_len"]), jnp.int32),
+        ))(jax.random.PRNGKey(2))
+    else:
+        print("error: --artifacts needs --checkpoint or --random-weights",
+              file=sys.stderr)
+        raise SystemExit(2)
+
+    with open(os.path.join(args.artifacts, "manifest.json")) as f:
+        ctx_len = json.load(f)["operating_point"]["ctx_len"]
+    if ctx_len == 77:
+        tokenizer = CLIPTokenizer()
+    else:
+        # tiny smoke exports use a toy text config; zero tokens suffice
+        import numpy as _np
+
+        def tokenizer(prompt):
+            n = 1 if isinstance(prompt, str) else len(prompt)
+            return _np.zeros((n, ctx_len), _np.int32)
+
+    return ArtifactPipeline.from_dir(
+        args.artifacts,
+        unet_params=unet_params,
+        vae_params=vae_params,
+        text_params=text_params,
+        tokenizer=tokenizer,
+    )
 
 
 def main(argv=None):
@@ -153,8 +247,11 @@ def main(argv=None):
     from ..utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    # generate.build_pipeline doesn't read lora for random mode; reuse as-is
-    pipe = build_pipeline(a)
+    if args.artifacts:
+        pipe = build_artifact_pipeline(args)
+    else:
+        # generate.build_pipeline doesn't read lora for random mode; as-is
+        pipe = build_pipeline(a)
     server = make_server(pipe, args)
     print(
         f"serving on http://{args.host}:{args.port} "
@@ -171,7 +268,9 @@ def make_server(pipe, args) -> ThreadingHTTPServer:
     os.makedirs(args.output_dir, exist_ok=True)
 
     from ..io.video import save_video
-    from ..pipelines.vc2 import video_to_uint8
+    # pipelines.artifact's copy: identical math, but importing pipelines.vc2
+    # would pull the model packages onto an artifacts-only serving host
+    from ..pipelines.artifact import video_to_uint8
 
     device = str(jax.devices()[0])
     gallery: list = []

@@ -178,11 +178,35 @@ def build_programs(args):
     )
     chunk = args.decode_chunk or b * t
     dec = jax.ShapeDtypeStruct((chunk, lh, lw, meta["z_channels"]), dtype)
-    return [
+    # the operating point baked into the exported HLO: everything
+    # pipelines/artifact.py needs to reproduce the host orchestration
+    # (and to reject requests the artifacts cannot serve)
+    op = {
+        "steps": args.steps,
+        "lcm_origin_steps": args.lcm_origin_steps,
+        "batch": b,
+        "frames": t,
+        "height": args.height,
+        "width": args.width,
+        "use_motion_cond": args.use_motion_cond,
+        "percentage": args.percentage,
+        "decode_chunk": chunk,
+        "dtype": jnp.dtype(dtype).name,
+        "tiny_model": args.tiny_model,
+        "vae_scale": meta["vae_scale"],
+        "ctx_dim": meta["ctx_dim"],
+        "z_channels": meta["z_channels"],
+        "ctx_len": meta["ctx_len"],
+        "in_channels": meta["in_channels"],
+        "w_embedding_dim": pipe.w_embedding_dim,
+        "init_noise_sigma": pipe.scheduler.init_noise_sigma,
+    }
+    programs = [
         ("sample", sample, (unet_abs, lat, ctx, wemb, fps, gs, key)),
         ("vae_decode", pipe._decode_jit, (vae_abs, dec)),
         ("text_encode", pipe._encode_jit, (text_abs, toks)),
     ]
+    return programs, op
 
 
 def export_program(fn, abstract_args, path: str) -> int:
@@ -215,9 +239,13 @@ def main(argv=None):
     from ..utils.cache import enable_persistent_cache
 
     cache_dir = enable_persistent_cache()
-    programs = build_programs(args)
+    programs, op = build_programs(args)
 
-    manifest = {"platform": jax.default_backend(), "programs": {}}
+    manifest = {
+        "platform": jax.default_backend(),
+        "operating_point": op,
+        "programs": {},
+    }
     if args.export:
         os.makedirs(args.export, exist_ok=True)
     for name, fn, abstract_args in programs:

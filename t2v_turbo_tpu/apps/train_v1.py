@@ -486,6 +486,38 @@ def add_reward_fields(base_iter, args, frames, b, image_rm, video_rm):
         yield batch
 
 
+def _make_raw_video_iter(args, frames, b):
+    """Decoded video batches {video (B,T,H,W,3) [-1,1], txt} from tar shards
+    or a CSV index (the reference's webdataset / MP4Dataset inputs)."""
+    if args.data_shards:
+        from ..data.webdata import WebVideoDataset
+
+        prefix_weights = None
+        if args.prefix_weights:
+            prefix_weights = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in args.prefix_weights.split(","))
+            }
+        ds = WebVideoDataset(
+            sorted(glob.glob(args.data_shards)),
+            batch_size=b,
+            n_frames=frames,
+            size_hw=(args.height, args.width),
+            prefix_weights=prefix_weights,
+        )
+        return iter(ds)
+    if args.data_csv:
+        from ..data.datasets import MP4Dataset, read_csv_index
+
+        ds = MP4Dataset(
+            read_csv_index(args.data_csv),
+            n_frames=frames,
+            size_hw=(args.height, args.width),
+        )
+        return ({"video": d["video"], "txt": d["text"]} for d in ds.batches(b))
+    raise SystemExit("provide --data-shards/--data-csv/--synthetic-data")
+
+
 def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
     """Batches of {latents, ctx, uncond_ctx, fps}. Real path: webdataset /
     CSV video -> VAE encode + text encode per step; synthetic: random."""
@@ -512,20 +544,75 @@ def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
     from ..models.vae import AutoencoderKL
     from ..utils.tokenizer import CLIPTokenizer
 
-    assert spec is not None and args.checkpoint, "real data requires --checkpoint"
-    from ..io.torch_import import (
-        import_clip_text_params,
-        import_vae_params,
-        load_torch_state_dict,
-        split_vc2_checkpoint,
-    )
+    if args.tiny_model:
+        # tiny + real tars (the soak test's CPU shape): real decode ->
+        # tiny random VAE encode; text context is a deterministic hash
+        # embedding at the tiny ctx_dim (no full CLIP tower)
+        from ..models.vae import VAEConfig
 
-    sd = load_torch_state_dict(args.checkpoint)
-    _, vae_sd, clip_sd = split_vc2_checkpoint(sd)
+        tiny_vae = AutoencoderKL(
+            cfg=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+        )
+        tv_params = jax.jit(
+            lambda k: tiny_vae.init(k, jnp.zeros((1, 16, 16, 3)))
+        )(jax.random.PRNGKey(21))
+        tiny_encode = jax.jit(
+            lambda v: tiny_vae.apply(tv_params, v, method=tiny_vae.encode)[0]
+            * 0.18215
+        )
+
+        def hash_ctx(texts):
+            out = np.zeros((len(texts), 7, ctx_dim), np.float32)
+            for i, s in enumerate(texts):
+                r = np.random.RandomState(abs(hash(s)) % (2**31 - 1))
+                out[i] = r.randn(7, ctx_dim).astype(np.float32)
+            return out
+
+        raw_iter = _make_raw_video_iter(args, frames, b)
+
+        def tiny_it():
+            for batch in raw_iter:
+                video = jnp.asarray(batch["video"])
+                bb, tt = video.shape[:2]
+                z = tiny_encode(video.reshape(bb * tt, *video.shape[2:]))
+                z = np.asarray(z).reshape(bb, tt, *z.shape[1:])
+                yield {
+                    "latents": z,
+                    "ctx": hash_ctx(batch["txt"]),
+                    "uncond_ctx": np.zeros((bb, 7, ctx_dim), np.float32),
+                    "fps": np.full((bb,), float(args.fps), np.float32),
+                    "_texts": list(batch["txt"]),
+                }
+
+        return tiny_it()
+
+    assert spec is not None and (args.checkpoint or args.random_weights), (
+        "real data requires --checkpoint (or --random-weights for a "
+        "production-shape smoke/soak run)"
+    )
     vae = AutoencoderKL(cfg=spec.vae, dtype=jnp.bfloat16)
     text = CLIPTextModel(dtype=jnp.bfloat16)
-    vae_params = {"params": import_vae_params(vae_sd)}
-    text_params = {"params": import_clip_text_params(clip_sd)}
+    if args.checkpoint:
+        from ..io.torch_import import (
+            import_clip_text_params,
+            import_vae_params,
+            load_torch_state_dict,
+            split_vc2_checkpoint,
+        )
+
+        sd = load_torch_state_dict(args.checkpoint)
+        _, vae_sd, clip_sd = split_vc2_checkpoint(sd)
+        vae_params = {"params": import_vae_params(vae_sd)}
+        text_params = {"params": import_clip_text_params(clip_sd)}
+    else:
+        # soak mode: real decode/encode path, random frozen towers — the
+        # data-pipeline + step composition is what's under test, not quality
+        vae_params = jax.jit(
+            lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
+        )(jax.random.PRNGKey(11))
+        text_params = jax.jit(
+            lambda k: text.init(k, jnp.zeros((1, 77), jnp.int32))
+        )(jax.random.PRNGKey(12))
     tok = CLIPTokenizer()
 
     encode = jax.jit(
@@ -534,35 +621,7 @@ def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
     embed = jax.jit(lambda t: text.apply(text_params, t))
     uncond = np.asarray(embed(jnp.asarray(tok([""]))))
 
-    if args.data_shards:
-        from ..data.webdata import WebVideoDataset
-
-        prefix_weights = None
-        if args.prefix_weights:
-            prefix_weights = {
-                k: float(v)
-                for k, v in (kv.split("=") for kv in args.prefix_weights.split(","))
-            }
-        ds = WebVideoDataset(
-            sorted(glob.glob(args.data_shards)),
-            batch_size=b,
-            n_frames=frames,
-            size_hw=(args.height, args.width),
-            prefix_weights=prefix_weights,
-        )
-        raw_iter = iter(ds)
-    elif args.data_csv:
-        from ..data.datasets import MP4Dataset, read_csv_index
-
-        ds = MP4Dataset(
-            read_csv_index(args.data_csv),
-            n_frames=frames,
-            size_hw=(args.height, args.width),
-        )
-        raw_iter = ds.batches(b)
-        raw_iter = ({"video": d["video"], "txt": d["text"]} for d in raw_iter)
-    else:
-        raise SystemExit("provide --data-shards/--data-csv/--synthetic-data")
+    raw_iter = _make_raw_video_iter(args, frames, b)
 
     def it():
         import jax.numpy as jnp

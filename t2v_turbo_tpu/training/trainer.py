@@ -561,12 +561,15 @@ class LCDTrainer:
         prefetch = DevicePrefetcher(data_iter, put=self.shard_batch, depth=2)
         t_window = time.perf_counter()
         steps_in_window = 0
+        wait_in_window = 0.0  # host blocked on the input pipeline
         with self.mesh, Heartbeat(hb_path) as hb, GracefulShutdown() as stop:
             for step in range(start, max_steps):
                 if stop.requested:
                     break
                 try:
+                    t_wait = time.perf_counter()
                     batch = next(prefetch)
+                    wait_in_window += time.perf_counter() - t_wait
                 except StopIteration:
                     # finite dataset shorter than max_steps: stop cleanly
                     # (the final checkpoint below must still run)
@@ -582,8 +585,14 @@ class LCDTrainer:
                     # window — divide the fenced window by its step count
                     metrics = {k: float(v) for k, v in metrics.items()}
                     now = time.perf_counter()
-                    dt = (now - t_window) / steps_in_window
-                    t_window, steps_in_window = now, 0
+                    window = now - t_window
+                    dt = window / steps_in_window
+                    # input-bound fraction: host time blocked waiting for the
+                    # prefetcher. ~0 when the data layer keeps up; -> 1 when
+                    # decode/encode can't feed the chip (SURVEY §7 "data
+                    # pipeline throughput" risk, measured not assumed)
+                    metrics["data_wait_frac"] = wait_in_window / max(window, 1e-9)
+                    t_window, steps_in_window, wait_in_window = now, 0, 0.0
                     last_metrics = self._log(last_step, metrics, dt)
                 if last_step % cfg.checkpoint_every == 0:
                     self.save(last_step)

@@ -161,6 +161,22 @@ def build_artifact_pipeline(args):
         unet_params, vae_params, text_params = load_vc2_checkpoint_params(
             args, spec
         )
+    elif args.ms_dir:
+        # ModelScope diffusers layout: key-converted pytrees, no modules
+        from ..io.torch_import import (
+            import_ms_unet_params,
+            load_ms_components,
+            load_torch_state_dict,
+        )
+
+        comps = load_ms_components(args.ms_dir)
+        unet_params = {"params": comps["unet"]}
+        if args.unet_ckpt:
+            unet_params = {"params": import_ms_unet_params(
+                load_torch_state_dict(args.unet_ckpt)
+            )}
+        vae_params = {"params": comps["vae"]}
+        text_params = {"params": comps["text"]}
     elif args.random_weights:
         # smoke mode: init random params MATCHING the artifact's operating
         # point (this path does import the model code)
@@ -176,6 +192,7 @@ def build_artifact_pipeline(args):
         wargs = warmup.parse_args(
             (["--tiny-model"] if op.get("tiny_model") else [])
             + (["--f32"] if op["dtype"] == "float32" else [])
+            + ["--backbone", op.get("backbone", "vc2")]
             + ["--config", args.config]
         )
         unet, vae, text, meta = warmup.build_models(wargs)
@@ -183,12 +200,14 @@ def build_artifact_pipeline(args):
         b, t = op["batch"], op["frames"]
         lh = op["height"] // op["vae_scale"]
         lw = op["width"] // op["vae_scale"]
+        cond_kw = dict(timestep_cond=jnp.zeros((b, 256), dtype))
+        if op.get("backbone", "vc2") == "vc2":
+            cond_kw["fps"] = jnp.full((b,), 16.0)
         unet_params = jax.jit(lambda k: unet.init(
             k, jnp.zeros((b, t, lh, lw, op["in_channels"]), dtype),
             jnp.zeros((b,), jnp.int32),
             jnp.zeros((b, op["ctx_len"], op["ctx_dim"]), dtype),
-            fps=jnp.full((b,), 16.0),
-            timestep_cond=jnp.zeros((b, 256), dtype),
+            **cond_kw,
         ))(jax.random.PRNGKey(0))
         vae_params = jax.jit(lambda k: vae.init(
             k, jnp.zeros((1, op["vae_scale"] * 8, op["vae_scale"] * 8, 3),

@@ -39,6 +39,9 @@ def parse_args(argv=None):
         description="AOT-compile / export the T2V-Turbo inference programs"
     )
     p.add_argument("--config", default="configs/vc2_t2v_512.yaml")
+    p.add_argument("--backbone", default="vc2", choices=["vc2", "ms"],
+                   help="VideoCrafter2 (320x512) or ModelScope (256x256); "
+                        "both pipelines share the same three programs")
     p.add_argument("--tiny-model", action="store_true",
                    help="tiny UNet/VAE/text configs (smoke / tests)")
     p.add_argument("--steps", type=int, default=4)
@@ -78,37 +81,66 @@ def build_models(args):
 
     from ..diffusion import DiffusionSchedule
     from ..models.clip_text import CLIPTextConfig, CLIPTextModel
-    from ..models.unet_vc2 import UNetConfig, UNetModel
     from ..models.vae import AutoencoderKL, VAEConfig
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
-    if args.tiny_model:
-        ucfg = UNetConfig(
-            model_channels=32, num_res_blocks=1, attention_resolutions=(2, 1),
-            channel_mult=(1, 2), num_head_channels=16, context_dim=16,
-            temporal_length=4, time_cond_proj_dim=8,
-        )
-        vcfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
-        tcfg = CLIPTextConfig(
-            vocab_size=50, width=16, heads=2, layers=2, context_length=8
-        )
+    backbone = getattr(args, "backbone", "vc2")
+    if backbone == "ms":
+        from ..models.unet_ms import MSUNetConfig, MSUNet3DConditionModel
+
+        if args.tiny_model:
+            ucfg = MSUNetConfig(
+                block_out_channels=(32, 64), layers_per_block=1,
+                attention_head_dim=16, cross_attention_dim=16,
+                time_cond_proj_dim=8,
+            )
+            vcfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+            tcfg = CLIPTextConfig(
+                vocab_size=50, width=16, heads=2, layers=2, context_length=8
+            )
+        else:
+            # reference app_ms.py operating point: full SD VAE, full-depth
+            # CLIP text tower (generate.build_ms_pipeline)
+            ucfg = MSUNetConfig(time_cond_proj_dim=256)
+            vcfg = VAEConfig()
+            tcfg = CLIPTextConfig(penultimate=False)
+        unet = MSUNet3DConditionModel(cfg=ucfg, dtype=dtype)
         schedule = DiffusionSchedule.create()
         scale_factor = 0.18215
+        ctx_dim = ucfg.cross_attention_dim
     else:
-        from ..config import load_vc2_config
+        from ..models.unet_vc2 import UNetConfig, UNetModel
 
-        spec = load_vc2_config(args.config, time_cond_proj_dim=256)
-        ucfg, vcfg, tcfg = spec.unet, spec.vae, CLIPTextConfig()
-        schedule = spec.make_schedule()
-        scale_factor = spec.scale_factor
-    unet = UNetModel(cfg=ucfg, dtype=dtype)
+        if args.tiny_model:
+            ucfg = UNetConfig(
+                model_channels=32, num_res_blocks=1,
+                attention_resolutions=(2, 1), channel_mult=(1, 2),
+                num_head_channels=16, context_dim=16,
+                temporal_length=4, time_cond_proj_dim=8,
+            )
+            vcfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+            tcfg = CLIPTextConfig(
+                vocab_size=50, width=16, heads=2, layers=2, context_length=8
+            )
+            schedule = DiffusionSchedule.create()
+            scale_factor = 0.18215
+        else:
+            from ..config import load_vc2_config
+
+            spec = load_vc2_config(args.config, time_cond_proj_dim=256)
+            ucfg, vcfg, tcfg = spec.unet, spec.vae, CLIPTextConfig()
+            schedule = spec.make_schedule()
+            scale_factor = spec.scale_factor
+        unet = UNetModel(cfg=ucfg, dtype=dtype)
+        ctx_dim = ucfg.context_dim
     vae = AutoencoderKL(cfg=vcfg, dtype=dtype)
     text_model = CLIPTextModel(cfg=tcfg, dtype=dtype)
     meta = {
         "dtype": dtype,
+        "backbone": backbone,
         "vae_scale": 2 ** (len(vcfg.ch_mult) - 1),
         "ctx_len": tcfg.context_length,
-        "ctx_dim": ucfg.context_dim,
+        "ctx_dim": ctx_dim,
         "in_channels": ucfg.in_channels,
         "z_channels": vcfg.embed_dim,
         "schedule": schedule,
@@ -127,6 +159,7 @@ def build_programs(args):
     import jax
     import jax.numpy as jnp
 
+    from ..pipelines.ms import T2VTurboMSPipeline
     from ..pipelines.vc2 import T2VTurboVC2Pipeline
 
     unet, vae, text_model, meta = build_models(args)
@@ -144,16 +177,27 @@ def build_programs(args):
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)  # legacy threefry key
     toks = jax.ShapeDtypeStruct((b, meta["ctx_len"]), jnp.int32)
 
-    unet_abs = jax.eval_shape(
-        lambda: unet.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros(lat.shape, dtype),
-            jnp.zeros((b,), jnp.int32),
-            jnp.zeros(ctx.shape, dtype),
-            fps=jnp.full((b,), 16.0),
-            timestep_cond=jnp.zeros((b, 256), dtype),
+    if meta["backbone"] == "ms":
+        unet_abs = jax.eval_shape(
+            lambda: unet.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros(lat.shape, dtype),
+                jnp.zeros((b,), jnp.int32),
+                jnp.zeros(ctx.shape, dtype),
+                timestep_cond=jnp.zeros((b, 256), dtype),
+            )
         )
-    )
+    else:
+        unet_abs = jax.eval_shape(
+            lambda: unet.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros(lat.shape, dtype),
+                jnp.zeros((b,), jnp.int32),
+                jnp.zeros(ctx.shape, dtype),
+                fps=jnp.full((b,), 16.0),
+                timestep_cond=jnp.zeros((b, 256), dtype),
+            )
+        )
     vae_abs = jax.eval_shape(
         lambda: vae.init(
             jax.random.PRNGKey(1),
@@ -166,7 +210,10 @@ def build_programs(args):
         )
     )
 
-    pipe = T2VTurboVC2Pipeline(
+    pipe_cls = (
+        T2VTurboMSPipeline if meta["backbone"] == "ms" else T2VTurboVC2Pipeline
+    )
+    pipe = pipe_cls(
         unet=unet, unet_params=unet_abs, vae=vae, vae_params=vae_abs,
         text_model=text_model, text_params=text_abs, tokenizer=None,
         schedule=meta["schedule"], scale_factor=meta["scale_factor"],
@@ -193,6 +240,7 @@ def build_programs(args):
         "decode_chunk": chunk,
         "dtype": jnp.dtype(dtype).name,
         "tiny_model": args.tiny_model,
+        "backbone": meta["backbone"],
         "vae_scale": meta["vae_scale"],
         "ctx_dim": meta["ctx_dim"],
         "z_channels": meta["z_channels"],

@@ -11,6 +11,8 @@
 //       decodes n_frames sampled at target_fps (uniform from a random or
 //       zero temporal offset), scaled to (out_w, out_h) RGB24 rows into buf
 //   vio_encode(path, frames, t, h, w, fps, codec) -> mp4/mpeg4 by default
+//   vio_decode_audio(data, size, rate, nch, max_s, out, &ch, &src_rate)
+//       decodes an in-memory audio blob (tar member) to planar f32 PCM
 //   vio_last_error()                            -> thread-local message
 //
 // Build: make -C native/videoio
@@ -20,6 +22,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
 
@@ -375,6 +378,160 @@ int vio_encode(const char* path, const uint8_t* frames, int t, int h, int w,
   if (!(oc->oformat->flags & AVFMT_NOFILE)) avio_closep(&oc->pb);
   avformat_free_context(oc);
   return rc == 0 ? 0 : fail("encode failed");
+}
+
+// Audio decode --------------------------------------------------------------
+//
+// Native replacement for the reference's torchaudio-based AudioDecoder
+// (data/dataloader/audio_decode.py:17-49): decode an in-memory audio blob
+// (the webdataset tar member — wav/flac/mp3/m4a), resample to target_rate,
+// and write up to max_samples float32 samples per channel, planar [C, S].
+// Padding/pad-mask policy stays host-side in Python (data/audioio.py), where
+// the reference keeps it too.
+
+namespace {
+
+struct MemBuf {
+  const uint8_t* p;
+  int64_t size;
+  int64_t pos;
+};
+
+int mem_read(void* opaque, uint8_t* buf, int buf_size) {
+  MemBuf* m = static_cast<MemBuf*>(opaque);
+  int64_t left = m->size - m->pos;
+  if (left <= 0) return AVERROR_EOF;
+  int n = (int)std::min<int64_t>(buf_size, left);
+  std::memcpy(buf, m->p + m->pos, n);
+  m->pos += n;
+  return n;
+}
+
+int64_t mem_seek(void* opaque, int64_t offset, int whence) {
+  MemBuf* m = static_cast<MemBuf*>(opaque);
+  if (whence == AVSEEK_SIZE) return m->size;
+  int64_t base = (whence == SEEK_CUR) ? m->pos
+               : (whence == SEEK_END) ? m->size
+                                      : 0;
+  int64_t pos = base + offset;
+  if (pos < 0 || pos > m->size) return AVERROR(EINVAL);
+  m->pos = pos;
+  return pos;
+}
+
+}  // namespace
+
+// Decodes audio from `data[:size]`. out must hold max_channels*max_samples
+// floats (planar: channel c occupies out[c*max_samples : c*max_samples+S]).
+// n_channels==0 keeps the stream's channel count; n_channels==1 downmixes
+// to mono. Writes the stream's native rate to *src_rate and the produced
+// channel count to *out_channels. Returns samples written per channel
+// (<= max_samples; decoding stops once the buffer is full), -1 on error,
+// or -2 if the stream has more channels than max_channels (out untouched;
+// *out_channels holds the real count so the caller can re-allocate).
+int64_t vio_decode_audio(const uint8_t* data, int64_t size, int target_rate,
+                         int n_channels, int max_channels,
+                         int64_t max_samples, float* out, int* out_channels,
+                         int* src_rate) {
+  MemBuf mem{data, size, 0};
+  constexpr int kIoBuf = 1 << 16;
+  uint8_t* iobuf = (uint8_t*)av_malloc(kIoBuf);
+  AVIOContext* avio =
+      avio_alloc_context(iobuf, kIoBuf, 0, &mem, mem_read, nullptr, mem_seek);
+  if (!avio) {
+    av_free(iobuf);
+    return fail("alloc avio");
+  }
+  FmtCtx fmt;
+  fmt.p = avformat_alloc_context();
+  fmt.p->pb = avio;
+  // avformat_close_input does not free a custom pb; do it ourselves at exit
+  struct AvioGuard {
+    AVIOContext* p;
+    ~AvioGuard() {
+      if (p) {
+        av_freep(&p->buffer);
+        avio_context_free(&p);
+      }
+    }
+  } avio_guard{avio};
+
+  if (avformat_open_input(&fmt.p, nullptr, nullptr, nullptr) < 0)
+    return fail("cannot open audio buffer");
+  if (avformat_find_stream_info(fmt.p, nullptr) < 0)
+    return fail("no stream info");
+  const AVCodec* codec = nullptr;
+  int idx = av_find_best_stream(fmt.p, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+  if (idx < 0 || !codec) return fail("no audio stream");
+  CodecCtx dec;
+  dec.p = avcodec_alloc_context3(codec);
+  if (!dec.p) return fail("alloc codec ctx");
+  avcodec_parameters_to_context(dec.p, fmt.p->streams[idx]->codecpar);
+  if (avcodec_open2(dec.p, codec, nullptr) < 0) return fail("open codec");
+  if (dec.p->ch_layout.nb_channels <= 0)
+    av_channel_layout_default(&dec.p->ch_layout, 1);
+
+  int nch = (n_channels > 0) ? n_channels : dec.p->ch_layout.nb_channels;
+  if (target_rate <= 0) target_rate = dec.p->sample_rate;
+  *out_channels = nch;
+  *src_rate = dec.p->sample_rate;
+  if (nch > max_channels) {
+    fail("stream channel count exceeds the output allocation");
+    return -2;
+  }
+
+  AVChannelLayout out_layout;
+  av_channel_layout_default(&out_layout, nch);
+  SwrContext* swr = nullptr;
+  int ret = swr_alloc_set_opts2(&swr, &out_layout, AV_SAMPLE_FMT_FLTP,
+                                target_rate, &dec.p->ch_layout,
+                                dec.p->sample_fmt, dec.p->sample_rate, 0,
+                                nullptr);
+  if (ret < 0 || !swr || swr_init(swr) < 0) {
+    if (swr) swr_free(&swr);
+    return fail("swr init");
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+  std::vector<uint8_t*> planes(nch);
+
+  auto convert = [&](AVFrame* f) {
+    while (written < max_samples) {
+      int64_t room = max_samples - written;
+      for (int c = 0; c < nch; c++)
+        planes[c] = (uint8_t*)(out + (int64_t)c * max_samples + written);
+      int got = swr_convert(swr, planes.data(), (int)std::min<int64_t>(room, INT32_MAX),
+                            f ? (const uint8_t**)f->data : nullptr,
+                            f ? f->nb_samples : 0);
+      if (got <= 0) break;
+      written += got;
+      if (f) break;  // non-flush: one call consumes the whole input frame
+    }
+  };
+
+  while (written < max_samples && av_read_frame(fmt.p, pkt) >= 0) {
+    if (pkt->stream_index == idx && avcodec_send_packet(dec.p, pkt) == 0) {
+      while (written < max_samples &&
+             avcodec_receive_frame(dec.p, frame) == 0)
+        convert(frame);
+    }
+    av_packet_unref(pkt);
+  }
+  if (written < max_samples) {  // flush decoder, then the resampler
+    avcodec_send_packet(dec.p, nullptr);
+    while (written < max_samples && avcodec_receive_frame(dec.p, frame) == 0)
+      convert(frame);
+    convert(nullptr);
+  }
+
+  swr_free(&swr);
+  av_channel_layout_uninit(&out_layout);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  if (written == 0) return fail("decoded zero audio samples");
+  return written;
 }
 
 }  // extern "C"

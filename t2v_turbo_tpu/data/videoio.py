@@ -85,6 +85,18 @@ def _load():
         ctypes.c_char_p,
     ]
     lib.vio_encode.restype = ctypes.c_int
+    lib.vio_decode_audio.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vio_decode_audio.restype = ctypes.c_int64
     lib.vio_last_error.restype = ctypes.c_char_p
     _lib = lib
     return lib

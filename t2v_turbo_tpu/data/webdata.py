@@ -150,6 +150,106 @@ def resample_shards_by_prefix(
     return draw()
 
 
+class LatentWebDataset:
+    """Tar shards of PICKLED latent dicts -> fixed-size batches; the
+    reference's Text2VideoDataset (data/video_webdata.py:87-147, the
+    webdataset twin of MP4LatentDataset — dead code there, live here).
+
+    Reference semantics kept: shards are RESAMPLED with replacement
+    (wds.ResampledShards — an infinite stream, not epochs), samples pass
+    a shuffle buffer, batches are full-size only (partial=False), and the
+    instance reports num_batches / num_samples derived from
+    num_train_examples exactly as :122-124 does. Each tar member whose
+    extension is .pickle/.pkl holds one sample (the reference renames the
+    wds "pickle" field to "params"); fields are defaulted like
+    datasets.MP4LatentDataset so the v2 trainer sees one schema from
+    either loader.
+    """
+
+    PICKLE_EXTS = ("pickle", "pkl")
+
+    def __init__(
+        self,
+        shards: Sequence[str],
+        num_train_examples: int,
+        per_host_batch_size: int,
+        global_batch_size: int,
+        shuffle_buffer_size: int = 1000,
+        seed: int = 0,
+        split_by_host: bool = True,
+    ):
+        import math
+
+        self.shards = list(shards)
+        if split_by_host:
+            self.shards = split_shards_by_host(self.shards)
+        if not self.shards:
+            raise ValueError("no shards for this host")
+        self.per_host_batch_size = per_host_batch_size
+        self.shuffle_buffer_size = shuffle_buffer_size
+        self.seed = seed
+        # reference :122-124 (num_workers==1 here: the decode is a cheap
+        # unpickle, so there is no worker pool to fold in)
+        self.num_batches = math.ceil(num_train_examples / global_batch_size)
+        self.num_samples = self.num_batches * global_batch_size
+        self.batch_size = global_batch_size
+
+    def _samples(self) -> Iterator[dict]:
+        import pickle
+
+        from .datasets import MP4LatentDataset
+
+        rng = random.Random(self.seed)
+        buf: List[dict] = []
+        while True:  # ResampledShards: infinite, with replacement
+            shard = self.shards[rng.randrange(len(self.shards))]
+            try:
+                with tarfile.open(shard, "r|*") as tf:
+                    for member in tf:
+                        ext = member.name.rpartition(".")[2]
+                        if not member.isfile() or ext not in self.PICKLE_EXTS:
+                            continue
+                        try:
+                            d = pickle.loads(tf.extractfile(member).read())
+                            for k in MP4LatentDataset.REQUIRED:
+                                assert k in d, f"missing {k}"
+                        except Exception:
+                            continue  # wds.ignore_and_continue
+                        d.setdefault("score", np.zeros_like(d["z_t"]))
+                        d.setdefault("use_motion_guide", True)
+                        d.setdefault("txt", "")
+                        d.setdefault("short_txt", "")
+                        if self.shuffle_buffer_size > 1:
+                            buf.append(d)
+                            if len(buf) >= self.shuffle_buffer_size:
+                                yield buf.pop(rng.randrange(len(buf)))
+                        else:
+                            yield d
+            except Exception:
+                continue  # unreadable shard: warn_and_continue
+
+    def __iter__(self) -> Iterator[dict]:
+        batch: List[dict] = []
+        for d in self._samples():
+            batch.append(d)
+            if len(batch) == self.per_host_batch_size:
+                # same schema as datasets.MP4LatentDataset.batches so the
+                # v2 trainer consumes either loader unchanged
+                out = {}
+                for k in (
+                    "index", "z_t", "cond_teacher_out", "uncond_teacher_out",
+                    "score", "prompt_emb",
+                ):
+                    out[k] = np.stack([np.asarray(b[k]) for b in batch])
+                out["use_motion_guide"] = np.asarray(
+                    [bool(b["use_motion_guide"]) for b in batch]
+                )
+                out["txt"] = [b["txt"] for b in batch]
+                out["short_txt"] = [b["short_txt"] for b in batch]
+                yield out
+                batch = []
+
+
 class WebVideoDataset:
     """Iterable: tar shards -> batches
     {video: (B,T,H,W,3) float32 [-1,1], txt: [str], json: [dict]}."""

@@ -1,5 +1,6 @@
 """Data layer tests: native videoio, tar pipeline, datasets, transforms."""
 
+import io
 import os
 import pickle
 import tarfile
@@ -348,3 +349,93 @@ class TestCutDetection:
             means = clip.mean(axis=(1, 2, 3))
             # all frames from ONE scene: uniformly dark or uniformly bright
             assert means.max() - means.min() < 60, means
+
+
+class TestLatentWebDataset:
+    """Text2VideoDataset parity (reference data/video_webdata.py:87-147):
+    tar shards of pickled latent dicts, resampled with replacement,
+    shuffle-buffered, full-size batches only, num_batches/num_samples
+    metadata."""
+
+    def make_latent(self, rng, i):
+        return {
+            "index": np.int32(i),
+            "z_t": rng.randn(4, 8, 8, 4).astype(np.float32),
+            "cond_teacher_out": rng.randn(4, 8, 8, 4).astype(np.float32),
+            "uncond_teacher_out": rng.randn(4, 8, 8, 4).astype(np.float32),
+            "prompt_emb": rng.randn(7, 16).astype(np.float32),
+            "txt": f"caption {i}",
+        }
+
+    @pytest.fixture
+    def latent_shards(self, tmp_path):
+        rng = np.random.RandomState(0)
+        shards = []
+        k = 0
+        for s in range(2):
+            path = tmp_path / f"lat-{s:04d}.tar"
+            with tarfile.open(path, "w") as tf:
+                for _ in range(5):
+                    blob = pickle.dumps(self.make_latent(rng, k))
+                    info = tarfile.TarInfo(f"{k:08d}.pickle")
+                    info.size = len(blob)
+                    tf.addfile(info, io.BytesIO(blob))
+                    k += 1
+            shards.append(str(path))
+        return shards
+
+    def test_batches_match_mp4latent_schema(self, latent_shards):
+        from t2v_turbo_tpu.data.webdata import LatentWebDataset
+
+        ds = LatentWebDataset(
+            latent_shards, num_train_examples=100, per_host_batch_size=3,
+            global_batch_size=6, shuffle_buffer_size=4, split_by_host=False,
+        )
+        it = iter(ds)
+        b = next(it)
+        assert b["z_t"].shape == (3, 4, 8, 8, 4)
+        assert b["prompt_emb"].shape == (3, 7, 16)
+        # defaults applied like MP4LatentDataset (score zeros, motion on,
+        # short_txt empty means "no short caption")
+        assert b["score"].shape == b["z_t"].shape
+        assert np.all(b["score"] == 0)
+        assert b["use_motion_guide"].dtype == bool and b["use_motion_guide"].all()
+        assert b["short_txt"] == ["", "", ""]
+        assert all(t.startswith("caption") for t in b["txt"])
+        # reference :122-124 metadata
+        assert ds.num_batches == 17 and ds.num_samples == 102
+        assert ds.batch_size == 6
+
+    def test_resampled_stream_is_infinite(self, latent_shards):
+        from t2v_turbo_tpu.data.webdata import LatentWebDataset
+
+        ds = LatentWebDataset(
+            latent_shards, num_train_examples=10, per_host_batch_size=2,
+            global_batch_size=2, shuffle_buffer_size=1, split_by_host=False,
+        )
+        it = iter(ds)
+        # 10 samples total but resampling-with-replacement never exhausts
+        got = [next(it) for _ in range(12)]
+        assert len(got) == 12
+
+    def test_bad_members_skipped(self, latent_shards, tmp_path):
+        from t2v_turbo_tpu.data.webdata import LatentWebDataset
+
+        bad = tmp_path / "lat-bad.tar"
+        with tarfile.open(bad, "w") as tf:
+            blob = b"not a pickle"
+            info = tarfile.TarInfo("zz.pickle")
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+            # pickle missing required keys is also skipped
+            blob2 = pickle.dumps({"z_t": np.zeros(3)})
+            info2 = tarfile.TarInfo("zy.pickle")
+            info2.size = len(blob2)
+            tf.addfile(info2, io.BytesIO(blob2))
+        ds = LatentWebDataset(
+            [str(bad), *latent_shards], num_train_examples=10,
+            per_host_batch_size=2, global_batch_size=2,
+            shuffle_buffer_size=1, split_by_host=False, seed=3,
+        )
+        b = next(iter(ds))
+        assert b["z_t"].shape[0] == 2

@@ -1020,3 +1020,101 @@ def load_ms_components(pretrained_dir: str, unet_kwargs: Optional[Dict] = None):
         "text": text_params,
         "text_cfg": text_cfg,
     }
+
+
+# --- x_transformer (lvdm/modules/x_transformer.py) --------------------------
+
+
+def import_x_transformer_layers(
+    sd: StateDict,
+    layer_types,
+    prefix: str = "",
+    use_rezero: bool = False,
+    gate_residual: bool = False,
+    glu: bool = False,
+    on_attn: bool = False,
+    norm_has_g: bool = False,
+) -> Dict:
+    """AttentionLayers state dict -> models/x_transformer.AttentionLayers
+    params. `layer_types` is the ('a'|'c'|'f') schedule from
+    models.x_transformer.build_layer_types; `norm_has_g` selects the
+    ScaleNorm/RMSNorm single-'g' layout over LayerNorm weight/bias."""
+    out: Dict = {}
+    for i, lt in enumerate(layer_types):
+        lp = f"{prefix}layers.{i}."
+        if not use_rezero:  # rezero replaces norms with Identity
+            if norm_has_g:
+                out[f"norm_{i}"] = {"g": sd[lp + "0.g"]}
+            else:
+                out[f"norm_{i}"] = {
+                    "scale": sd[lp + "0.weight"], "bias": sd[lp + "0.bias"]
+                }
+        bp = lp + "1."
+        if use_rezero and lt in ("a", "c"):
+            out[f"rezero_g_{i}"] = sd[bp + "g"]
+            bp += "fn."
+        if lt in ("a", "c"):
+            attn = {
+                "to_q": _lin(sd, bp + "to_q", bias=False),
+                "to_k": _lin(sd, bp + "to_k", bias=False),
+                "to_v": _lin(sd, bp + "to_v", bias=False),
+                "to_out": _lin(sd, bp + ("to_out.0" if on_attn
+                                         else "to_out")),
+            }
+            if bp + "pre_softmax_proj" in sd:
+                attn["pre_softmax_proj"] = sd[bp + "pre_softmax_proj"]
+                attn["post_softmax_proj"] = sd[bp + "post_softmax_proj"]
+            if bp + "mem_k" in sd:
+                attn["mem_k"] = sd[bp + "mem_k"]
+                attn["mem_v"] = sd[bp + "mem_v"]
+            out[f"attn_{i}"] = attn
+        else:  # 'f'
+            pin = bp + ("net.0.proj" if glu else "net.0.0")
+            out[f"ff_{i}"] = {
+                "proj_in": _lin(sd, pin),
+                "proj_out": _lin(sd, bp + "net.2"),
+            }
+        if gate_residual:
+            gp = lp + "2.gru."
+            w_ih = sd[gp + "weight_ih"]  # (3H, D): gates r, z, n
+            w_hh = sd[gp + "weight_hh"]
+            b_ih = sd[gp + "bias_ih"]
+            b_hh = sd[gp + "bias_hh"]
+            h3 = w_ih.shape[0] // 3
+            ir, iz, inn = (w_ih[k * h3:(k + 1) * h3].T for k in range(3))
+            hr, hz, hn = (w_hh[k * h3:(k + 1) * h3].T for k in range(3))
+            bir, biz, bin_ = (b_ih[k * h3:(k + 1) * h3] for k in range(3))
+            bhr, bhz, bhn = (b_hh[k * h3:(k + 1) * h3] for k in range(3))
+            out[f"gru_{i}"] = {"gru": {
+                # flax GRUCell has no bias on hr/hz: fold b_h into the
+                # i-side bias (the gate sums them anyway); hn keeps its
+                # own bias because r gates it separately
+                "ir": {"kernel": ir, "bias": bir + bhr},
+                "iz": {"kernel": iz, "bias": biz + bhz},
+                "in": {"kernel": inn, "bias": bin_},
+                "hr": {"kernel": hr},
+                "hz": {"kernel": hz},
+                "hn": {"kernel": hn, "bias": bhn},
+            }}
+    return out
+
+
+def import_x_transformer_params(sd: StateDict, layer_types, **kw) -> Dict:
+    """TransformerWrapper state dict -> models/x_transformer
+    .TransformerWrapper params (x_transformer.py:593-650 layout)."""
+    out: Dict = {
+        "token_emb": {"embedding": sd["token_emb.weight"]},
+        "norm": _norm(sd, "norm"),
+        "attn_layers": import_x_transformer_layers(
+            sd, layer_types, prefix="attn_layers.", **kw
+        ),
+    }
+    if "pos_emb.emb.weight" in sd:
+        out["pos_emb"] = {"embedding": sd["pos_emb.emb.weight"]}
+    if "project_emb.weight" in sd:
+        out["project_emb"] = _lin(sd, "project_emb")
+    if "memory_tokens" in sd:
+        out["memory_tokens"] = sd["memory_tokens"]
+    if "to_logits.weight" in sd:
+        out["to_logits"] = _lin(sd, "to_logits")
+    return out

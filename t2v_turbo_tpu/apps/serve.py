@@ -153,6 +153,9 @@ def build_artifact_pipeline(args):
     from ..pipelines.artifact import ArtifactPipeline
     from ..utils.tokenizer import CLIPTokenizer
 
+    with open(os.path.join(args.artifacts, "manifest.json")) as f:
+        op = json.load(f)["operating_point"]
+
     if args.checkpoint:
         from ..config import load_vc2_config
         from .generate import load_vc2_checkpoint_params
@@ -180,15 +183,11 @@ def build_artifact_pipeline(args):
     elif args.random_weights:
         # smoke mode: init random params MATCHING the artifact's operating
         # point (this path does import the model code)
-        import json as _json
-
         import jax
         import jax.numpy as jnp
 
         from . import warmup
 
-        with open(os.path.join(args.artifacts, "manifest.json")) as f:
-            op = _json.load(f)["operating_point"]
         wargs = warmup.parse_args(
             (["--tiny-model"] if op.get("tiny_model") else [])
             + (["--f32"] if op["dtype"] == "float32" else [])
@@ -220,8 +219,7 @@ def build_artifact_pipeline(args):
               file=sys.stderr)
         raise SystemExit(2)
 
-    with open(os.path.join(args.artifacts, "manifest.json")) as f:
-        ctx_len = json.load(f)["operating_point"]["ctx_len"]
+    ctx_len = op["ctx_len"]
     if ctx_len == 77:
         tokenizer = CLIPTokenizer()
     else:

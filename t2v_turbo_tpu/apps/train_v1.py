@@ -562,9 +562,14 @@ def make_data_iter(args, ctx_dim, lat_hw, frames, b, spec):
         )
 
         def hash_ctx(texts):
+            # crc32, not hash(): str hashing is salted per interpreter, and
+            # the soak resume (apps/soak_v1.py) restarts in a fresh process —
+            # the caption->embedding map must survive that boundary
+            import zlib
+
             out = np.zeros((len(texts), 7, ctx_dim), np.float32)
             for i, s in enumerate(texts):
-                r = np.random.RandomState(abs(hash(s)) % (2**31 - 1))
+                r = np.random.RandomState(zlib.crc32(s.encode("utf-8")))
                 out[i] = r.randn(7, ctx_dim).astype(np.float32)
             return out
 

@@ -50,10 +50,12 @@ def decode_audio(
     lib = videoio._load()
     max_samples = int(round(max_length * sample_rate))
     nch_req = int(num_channels or 0)
-    # initial row allocation when keeping the stream layout; the C side
-    # refuses (rc=-2, reporting the real count) rather than overflow, and
-    # we re-allocate once
-    alloc_ch = nch_req if nch_req > 0 else 8
+    # initial row allocation when keeping the stream layout: stereo covers
+    # nearly all real audio, and the C side refuses (rc=-2, reporting the
+    # real count) rather than overflow, so we re-allocate once for the rare
+    # multichannel stream instead of zeroing 8 rows (15 MB at the defaults)
+    # on every decode
+    alloc_ch = nch_req if nch_req > 0 else 2
     buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
     got_ch = ctypes.c_int(0)
     src_rate = ctypes.c_int(0)

@@ -139,15 +139,7 @@ class MP4LatentDataset:
                 d = pickle.loads(_read_bytes(p))
                 for k in self.REQUIRED:
                     assert k in d, f"missing {k}"
-                d.setdefault("score", np.zeros_like(d["z_t"]))
-                d.setdefault("use_motion_guide", True)
-                d.setdefault("txt", "")
-                # "" means NO short caption (the reference's short-caption
-                # preference keys on short_txt != "",
-                # train_latent_t2v_turbo_v2.py:1077-1081) — do not alias the
-                # full caption into it
-                d.setdefault("short_txt", "")
-                return d
+                return apply_latent_defaults(d)
             except Exception:
                 continue
         raise IOError(f"MP4LatentDataset: {self.max_retries} failures near {i}")
@@ -159,21 +151,41 @@ class MP4LatentDataset:
             if shuffle:
                 rng.shuffle(order)
             for i in range(0, len(order) - batch_size + 1, batch_size):
-                items = [self[j] for j in order[i : i + batch_size]]
-                out = {}
-                for k in (
-                    "index", "z_t", "cond_teacher_out", "uncond_teacher_out",
-                    "score", "prompt_emb",
-                ):
-                    out[k] = np.stack([np.asarray(it[k]) for it in items])
-                out["use_motion_guide"] = np.asarray(
-                    [bool(it["use_motion_guide"]) for it in items]
+                yield collate_latent_batch(
+                    [self[j] for j in order[i : i + batch_size]]
                 )
-                out["txt"] = [it["txt"] for it in items]
-                out["short_txt"] = [it["short_txt"] for it in items]
-                yield out
             if not loop:
                 return
+
+
+def apply_latent_defaults(d: dict) -> dict:
+    """Default the optional v2-latent fields in place (shared by
+    MP4LatentDataset and webdata.LatentWebDataset so the two loaders the
+    trainer consumes interchangeably cannot drift)."""
+    d.setdefault("score", np.zeros_like(d["z_t"]))
+    d.setdefault("use_motion_guide", True)
+    d.setdefault("txt", "")
+    # "" means NO short caption (the reference's short-caption preference
+    # keys on short_txt != "", train_latent_t2v_turbo_v2.py:1077-1081) —
+    # do not alias the full caption into it
+    d.setdefault("short_txt", "")
+    return d
+
+
+def collate_latent_batch(items: Sequence[dict]) -> dict:
+    """Stack v2-latent samples into the trainer batch schema."""
+    out = {}
+    for k in (
+        "index", "z_t", "cond_teacher_out", "uncond_teacher_out",
+        "score", "prompt_emb",
+    ):
+        out[k] = np.stack([np.asarray(it[k]) for it in items])
+    out["use_motion_guide"] = np.asarray(
+        [bool(it["use_motion_guide"]) for it in items]
+    )
+    out["txt"] = [it["txt"] for it in items]
+    out["short_txt"] = [it["short_txt"] for it in items]
+    return out
 
 
 class DevicePrefetcher:

@@ -38,20 +38,45 @@ class _VioInfo(ctypes.Structure):
 _lib = None
 
 
+def _stale() -> bool:
+    """True when the built .so predates the sources (e.g. a checkout that
+    added vio_decode_audio after the user last ran make)."""
+    try:
+        so_mtime = os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return True
+    for src in ("videoio.cpp", "Makefile"):
+        p = os.path.join(_NATIVE_DIR, src)
+        if os.path.exists(p) and os.path.getmtime(p) > so_mtime:
+            return True
+    return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) or _stale():
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
             )
         except Exception as e:  # pragma: no cover
-            raise RuntimeError(
-                f"libvideoio.so missing and build failed: {e}"
-            ) from e
+            if not os.path.exists(_LIB_PATH):
+                raise RuntimeError(
+                    f"libvideoio.so missing and build failed: {e}"
+                ) from e
+            # a stale .so that fails to rebuild (no toolchain on this host):
+            # fall through and let the symbol check below decide
     lib = ctypes.CDLL(_LIB_PATH)
+    # newest symbol first: a library from before the audio decoder would
+    # otherwise die with a bare AttributeError mid-binding and available()
+    # would silently report the whole native layer missing
+    if not hasattr(lib, "vio_decode_audio"):  # pragma: no cover
+        raise RuntimeError(
+            "libvideoio.so is stale (missing vio_decode_audio); rebuild "
+            f"with `make -B -C {_NATIVE_DIR}` and restart the process"
+        )
     lib.vio_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_VioInfo)]
     lib.vio_probe.restype = ctypes.c_int
     lib.vio_decode.argtypes = [

@@ -197,7 +197,7 @@ class LatentWebDataset:
     def _samples(self) -> Iterator[dict]:
         import pickle
 
-        from .datasets import MP4LatentDataset
+        from .datasets import MP4LatentDataset, apply_latent_defaults
 
         rng = random.Random(self.seed)
         buf: List[dict] = []
@@ -215,10 +215,7 @@ class LatentWebDataset:
                                 assert k in d, f"missing {k}"
                         except Exception:
                             continue  # wds.ignore_and_continue
-                        d.setdefault("score", np.zeros_like(d["z_t"]))
-                        d.setdefault("use_motion_guide", True)
-                        d.setdefault("txt", "")
-                        d.setdefault("short_txt", "")
+                        apply_latent_defaults(d)
                         if self.shuffle_buffer_size > 1:
                             buf.append(d)
                             if len(buf) >= self.shuffle_buffer_size:
@@ -229,24 +226,15 @@ class LatentWebDataset:
                 continue  # unreadable shard: warn_and_continue
 
     def __iter__(self) -> Iterator[dict]:
+        from .datasets import collate_latent_batch
+
         batch: List[dict] = []
         for d in self._samples():
             batch.append(d)
             if len(batch) == self.per_host_batch_size:
                 # same schema as datasets.MP4LatentDataset.batches so the
                 # v2 trainer consumes either loader unchanged
-                out = {}
-                for k in (
-                    "index", "z_t", "cond_teacher_out", "uncond_teacher_out",
-                    "score", "prompt_emb",
-                ):
-                    out[k] = np.stack([np.asarray(b[k]) for b in batch])
-                out["use_motion_guide"] = np.asarray(
-                    [bool(b["use_motion_guide"]) for b in batch]
-                )
-                out["txt"] = [b["txt"] for b in batch]
-                out["short_txt"] = [b["short_txt"] for b in batch]
-                yield out
+                yield collate_latent_batch(batch)
                 batch = []
 
 

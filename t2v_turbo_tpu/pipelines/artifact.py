@@ -154,15 +154,20 @@ class ArtifactPipeline:
         fps: int = 16,
         guidance_scale: float = 7.5,
         motion_gs: float = 0.1,
-        use_motion_cond: bool = False,
-        percentage: float = 0.3,
+        use_motion_cond: Optional[bool] = None,
+        percentage: Optional[float] = None,
+        num_videos_per_prompt: int = 1,
         num_inference_steps: Optional[int] = None,
         lcm_origin_steps: Optional[int] = None,
         key: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
         prompt_embeds: Optional[jax.Array] = None,
         output_type: str = "video",
-        **_ignored,
+        decode_frame_chunk: Optional[int] = None,
     ):
+        # Every static knob the live pipeline exposes is either checked
+        # against the baked operating point or implemented as a runtime
+        # input; an unknown kwarg is a TypeError, never silently ignored.
         op = self.op
         self._check("height", height if height is not None else op["height"], op["height"])
         self._check("width", width if width is not None else op["width"], op["width"])
@@ -177,30 +182,49 @@ class ArtifactPipeline:
             lcm_origin_steps if lcm_origin_steps is not None else op["lcm_origin_steps"],
             op["lcm_origin_steps"],
         )
-        if use_motion_cond != op["use_motion_cond"]:
+        if use_motion_cond is not None:
             self._check("use_motion_cond", use_motion_cond, op["use_motion_cond"])
+        # percentage is baked into the motion-cond gating threshold of the
+        # exported scan; it only affects output when motion-cond is on
+        if percentage is not None and op["use_motion_cond"]:
+            self._check("percentage", percentage, op["percentage"])
+        if decode_frame_chunk is not None:
+            self._check("decode_frame_chunk", decode_frame_chunk, op["decode_chunk"])
 
         if key is None:
             key = jax.random.PRNGKey(0)
         if prompt_embeds is None:
             assert prompt is not None
             prompt_embeds = self.encode_prompt(prompt)
+        if num_videos_per_prompt != 1:
+            # live-pipeline semantics (pipelines/vc2.py): duplicate the
+            # embeddings per requested video; the batch check below catches
+            # operating-point overflow
+            prompt_embeds = jnp.repeat(prompt_embeds, num_videos_per_prompt, axis=0)
         bs = prompt_embeds.shape[0]
         self._check("batch", bs, op["batch"])
 
         # identical RNG stream to the live pipeline (pipelines/vc2.py:197)
         key, lat_key, sample_key = jax.random.split(key, 3)
-        latents = jax.random.normal(
-            lat_key,
-            (
-                bs,
-                op["frames"],
-                op["height"] // op["vae_scale"],
-                op["width"] // op["vae_scale"],
-                op["in_channels"],
-            ),
-            self.dtype,
+        latent_shape = (
+            bs,
+            op["frames"],
+            op["height"] // op["vae_scale"],
+            op["width"] // op["vae_scale"],
+            op["in_channels"],
         )
+        if latents is None:
+            latents = jax.random.normal(lat_key, latent_shape, self.dtype)
+        else:
+            # caller-provided initial noise (reproducing a generation):
+            # a runtime input of the exported program, like the live path
+            if tuple(latents.shape) != latent_shape:
+                raise ValueError(
+                    f"latents shape {tuple(latents.shape)} != compiled "
+                    f"shape {latent_shape}"
+                )
+            latents = jnp.asarray(latents, self.dtype)
+        # the live pipeline scales caller latents too (pipelines/vc2.py:210)
         latents = latents * op["init_noise_sigma"]
 
         w = jnp.full((bs,), guidance_scale, jnp.float32)

@@ -62,6 +62,64 @@ def kernel_parity_gate() -> bool:
             f"max|d|={err:.2e} {'OK' if case_ok else 'FAIL'}",
             file=sys.stderr,
         )
+
+    # Fused GN/LN kernels (ops/fused_norms.py) vs the XLA reference math at
+    # the production UNet shapes — these ARE the hot path now (dispatch in
+    # ops/norms.py routes eligible single-chip TPU shapes to Pallas), so a
+    # kernel regression must fail the bench, not just skew it.
+    from t2v_turbo_tpu.ops.fused_norms import (
+        _gn_ref,
+        _ln_ref,
+        fused_group_norm,
+        fused_layer_norm,
+        gn_shape_supported,
+        ln_shape_supported,
+    )
+
+    gn_cases = [
+        # (n, hw, c, dtype, atol) — UNet levels L0..L2 at 16 frames
+        (16, 2560, 320, jnp.bfloat16, 5e-2),
+        (16, 640, 640, jnp.bfloat16, 5e-2),
+        (16, 160, 1280, jnp.float32, 1e-4),
+    ]
+    for n, hw, c, dtype, atol in gn_cases:
+        assert gn_shape_supported((n, hw, c), 32), (n, hw, c)
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        x = jax.random.normal(ks[0], (n, hw, c), dtype)
+        s = jax.random.normal(ks[1], (c,), jnp.float32)
+        bb = jax.random.normal(ks[2], (c,), jnp.float32)
+        out = fused_group_norm(x, s, bb, 32, 1e-5, "silu")
+        ref = _gn_ref(x, s, bb, 32, 1e-5, "silu")
+        err = float(
+            jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+        )
+        case_ok = err < atol
+        ok &= case_ok
+        print(
+            f"# gn parity {dtype.__name__} ({n},{hw},{c}): "
+            f"max|d|={err:.2e} {'OK' if case_ok else 'FAIL'}",
+            file=sys.stderr,
+        )
+    ln_cases = [(40960, 320, jnp.bfloat16, 5e-2), (2560, 1280, jnp.float32, 1e-4)]
+    for r, c, dtype, atol in ln_cases:
+        assert ln_shape_supported((r, c)), (r, c)
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        x = jax.random.normal(ks[0], (r, c), dtype)
+        s = jax.random.normal(ks[1], (c,), jnp.float32)
+        bb = jax.random.normal(ks[2], (c,), jnp.float32)
+        out = fused_layer_norm(x, s, bb)
+        ref = _ln_ref(x, s, bb, 1e-5, None)
+        err = float(
+            jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+        )
+        case_ok = err < atol
+        ok &= case_ok
+        print(
+            f"# ln parity {dtype.__name__} ({r},{c}): "
+            f"max|d|={err:.2e} {'OK' if case_ok else 'FAIL'}",
+            file=sys.stderr,
+        )
+
     if not ok:
         print(
             json.dumps(
@@ -85,16 +143,38 @@ def train_bench(rewards: bool = False):
     video RM inside the loss (VAE-decoded frames, backprop through the
     towers, decode_chunk=16 — reference train_t2v_turbo_v1_lora.py:
     1043-1098). Prints one JSON line with samples/sec."""
+    from t2v_turbo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    kernel_parity_gate()
+    b, step_s = _v1_train_core(rewards)
+    print(
+        json.dumps(
+            {
+                "metric": "lcd_v1_train_samples_per_sec_bs1_16f_320x512"
+                + ("_rewards_on" if rewards else ""),
+                "value": round(b / step_s, 3),
+                "unit": "samples/sec",
+                "step_ms": round(step_s * 1e3, 1),
+                "lora_rank": 64,
+                "rewards": rewards,
+            }
+        )
+    )
+
+
+def _v1_train_core(rewards: bool = False):
+    """Full-size v1 LCD training-step timing; returns (batch_size, step_s).
+    Shared by `--train` and the driver-run main() (which folds v1_step_ms
+    into the canonical JSON line so training-perf regressions are visible
+    round-over-round, not just in PERF_NOTES prose)."""
     import optax
 
     from t2v_turbo_tpu.diffusion import DDIMSolver, DiffusionSchedule
     from t2v_turbo_tpu.models import UNetConfig, UNetModel
     from t2v_turbo_tpu.training.lcd import LCDConfig
     from t2v_turbo_tpu.training.trainer import LCDTrainer, TrainerConfig
-    from t2v_turbo_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache()
-    kernel_parity_gate()
     dtype = jnp.bfloat16
     cfg = UNetConfig(time_cond_proj_dim=256)
     # BENCH_REMAT=0 measures the no-remat student: OOMs at full size
@@ -198,19 +278,7 @@ def train_bench(rewards: bool = False):
         trainer.state, m = trainer._step_jit(trainer.state, batch, key)
     _ = float(m["loss"])
     step_s = (time.time() - t0) / n
-    print(
-        json.dumps(
-            {
-                "metric": "lcd_v1_train_samples_per_sec_bs1_16f_320x512"
-                + ("_rewards_on" if rewards else ""),
-                "value": round(b / step_s, 3),
-                "unit": "samples/sec",
-                "step_ms": round(step_s * 1e3, 1),
-                "lora_rank": 64,
-                "rewards": rewards,
-            }
-        )
-    )
+    return b, step_s
 
 
 def _full_size_reward_stack(rvae, rvae_params, decode_chunk=16):
@@ -558,6 +626,26 @@ def main():
 
     enable_persistent_cache()
     kernel_parity_gate()
+
+    # Training-step timing first (its device buffers free when the function
+    # scope drops, before the sampling bench allocates). BENCH_TRAIN=0 skips;
+    # a failure must not cost the headline metric.
+    train_stats = {}
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            bt, step_s = _v1_train_core(rewards=False)
+            train_stats = {
+                "v1_step_ms": round(step_s * 1e3, 1),
+                "v1_samples_per_sec": round(bt / step_s, 3),
+            }
+            print(
+                f"# v1 train step {step_s * 1e3:.0f} ms (bs={bt})",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover - deliberately broad
+            print(f"# v1 train bench failed: {e!r}", file=sys.stderr)
+            train_stats = {"v1_step_ms": None, "v1_samples_per_sec": None}
+
     from t2v_turbo_tpu.diffusion import DiffusionSchedule
     from t2v_turbo_tpu.models import UNetConfig, UNetModel
     from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig
@@ -655,6 +743,7 @@ def main():
                 "vs_baseline": round(videos_per_min / A100_BASELINE_VIDEOS_PER_MIN, 2),
                 "baseline_estimated": True,  # reference publishes no numbers
                 "unet_step_ms": round(step_ms, 1),
+                **train_stats,
             }
         )
     )

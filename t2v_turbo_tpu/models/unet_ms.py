@@ -272,8 +272,7 @@ class MSUNet3DConditionModel(nn.Module):
             if i < n_levels - 1:
                 h = Upsample(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
-        h = GroupNorm(32, eps=cfg.norm_eps, name="conv_norm_out")(h)
-        h = silu(h)
+        h = GroupNorm(32, eps=cfg.norm_eps, act="silu", name="conv_norm_out")(h)
         h = nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv_out",

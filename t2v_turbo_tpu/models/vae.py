@@ -23,10 +23,6 @@ from ..ops import group_norm
 from .layers import GroupNorm
 
 
-def swish(x):
-    return jax.nn.silu(x)
-
-
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
     """ddconfig of configs/inference_t2v_512_v2.0.yaml (first_stage_config)."""
@@ -49,14 +45,12 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = GroupNorm(32, eps=1e-6, name="norm1")(x)
-        h = swish(h)
+        h = GroupNorm(32, eps=1e-6, act="silu", name="norm1")(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv1",
         )(h)
-        h = GroupNorm(32, eps=1e-6, name="norm2")(h)
-        h = swish(h)
+        h = GroupNorm(32, eps=1e-6, act="silu", name="norm2")(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv2",
@@ -118,8 +112,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm(32, eps=1e-6, name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm(32, eps=1e-6, act="silu", name="norm_out")(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return nn.Conv(
             out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
@@ -155,8 +148,7 @@ class Decoder(nn.Module):
                     c, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name=f"up_{level}_upsample",
                 )(h)
-        h = GroupNorm(32, eps=1e-6, name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm(32, eps=1e-6, act="silu", name="norm_out")(h)
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv_out",

@@ -25,10 +25,14 @@ XLA math (`_gn_ref`/`_ln_ref`) and differentiates it — exact gradients, and
 the backward cost matches the pre-kernel implementation (training paths are
 not the bench headline; correctness and simplicity win).
 
-Dispatch lives in `ops/norms.py`: TPU-only (CPU keeps the pure-XLA path so
-the 269-test suite does not pay Pallas interpret overhead); parity is gated
-on-chip in bench.py next to the flash-attention gates and in
-tests_tpu/test_kernels_tpu.py, and off-chip via interpret-mode tests.
+Dispatch lives in `ops/norms.py::group_norm/layer_norm`: TPU-only (CPU keeps
+the pure-XLA path so the CPU test suite does not pay Pallas interpret
+overhead), gated by `gn_shape_supported`/`ln_shape_supported` and the
+`T2V_FUSED_NORMS` env switch. Parity is gated on-chip in bench.py next to
+the flash-attention gates, and off-chip via the interpret-mode tests in
+tests/test_ops.py (TestFusedNorms). The public entry points below also
+self-guard: an unsupported shape silently falls back to the XLA reference
+math instead of failing at Mosaic compile time.
 """
 
 from __future__ import annotations
@@ -102,17 +106,32 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups, eps, act):
     cj = jax.lax.broadcasted_iota(jnp.int32, (groups, c), 1)
     m_gc = (cj // cg == gj).astype(jnp.float32)  # (G, C)
 
+    # HIGHEST precision: the MXU multiplies in bf16 by default
+    # (preferred_element_type only sets the ACCUMULATOR type), and the
+    # variance path cannot afford that — s2 entries are O(HW), all positive,
+    # so a 0.4% bf16 multiplicand rounding becomes a ~2e-3 rstd error and a
+    # ~3e-2 output error (measured on-chip by bench.py's parity gate; the
+    # interpret-mode tests can't see it). The dots are (1,C)x(C,G) — the
+    # multi-pass f32 decomposition costs nothing at this size.
+    hp = jax.lax.Precision.HIGHEST
     inv = 1.0 / (hw * cg)
     s1 = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
     mean_g = (
-        jax.lax.dot(s1, m_cg, preferred_element_type=jnp.float32) * inv
+        jax.lax.dot(s1, m_cg, precision=hp, preferred_element_type=jnp.float32)
+        * inv
     )  # (1, G)
-    mean_c = jax.lax.dot(mean_g, m_gc, preferred_element_type=jnp.float32)
+    mean_c = jax.lax.dot(
+        mean_g, m_gc, precision=hp, preferred_element_type=jnp.float32
+    )
     d = x - mean_c  # (HW, C)
     s2 = jnp.sum(d * d, axis=0, keepdims=True)  # (1, C)
-    var_g = jax.lax.dot(s2, m_cg, preferred_element_type=jnp.float32) * inv
+    var_g = (
+        jax.lax.dot(s2, m_cg, precision=hp, preferred_element_type=jnp.float32)
+        * inv
+    )
     rstd_c = jax.lax.dot(
-        jax.lax.rsqrt(var_g + eps), m_gc, preferred_element_type=jnp.float32
+        jax.lax.rsqrt(var_g + eps), m_gc, precision=hp,
+        preferred_element_type=jnp.float32,
     )  # (1, C)
     y = d * rstd_c * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(
         jnp.float32
@@ -157,7 +176,14 @@ def _gn_impl(x, scale, bias, *, num_groups, eps, act, interpret):
         out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            # True VMEM need is ~24 B/elem of the (HW, C) frame: bf16 in+out
+            # double-buffered (8) + f32 x/d/y temps (12) + slack. At the L0
+            # production shape (2560, 320) that is ~18.7 MB — over the 16 MB
+            # default scoped limit (measured OOM inside the full UNet) but
+            # comfortably inside v5e's 128 MB VMEM. The 4 MB f32-frame gate
+            # in gn_shape_supported caps the worst case at ~24 MB.
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
     )(x, scale2, bias2)
 
@@ -214,18 +240,42 @@ def gn_shape_supported(x_shape, num_groups: int) -> bool:
     return hw * c * 4 <= _GN_MAX_FRAME_F32_BYTES
 
 
+def ln_shape_supported(x_shape) -> bool:
+    """(R, C) eligible for the fused kernel?
+
+    One grid block is (256, C); cap C so block + f32 temps stay well under
+    VMEM with double buffering, and skip degenerate tiny rows where the
+    pallas_call launch overhead exceeds the reduction it saves.
+    """
+    if len(x_shape) != 2:
+        return False
+    r, c = x_shape
+    return r >= _LN_BLOCK_ROWS and c * _LN_BLOCK_ROWS * 4 * 4 <= 8 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_group_norm_vjp(
+    x, scale, bias, num_groups, eps, act, interpret
+):
+    return _gn_impl(
+        x, scale, bias, num_groups=num_groups, eps=eps, act=act,
+        interpret=interpret,
+    )
+
+
 def fused_group_norm(
     x, scale, bias, num_groups=32, eps=1e-5, act=None, interpret=False
 ):
     """GroupNorm(+act) over (N, HW, C) via one fused Pallas pass.
 
     Matches `ops.norms.group_norm` (then act) numerically; f32 stats per
-    (frame, group), exact centered two-pass variance.
+    (frame, group), exact centered two-pass variance. Shapes outside the
+    VMEM budget fall back to the XLA reference math.
     """
-    return _gn_impl(
-        x, scale, bias, num_groups=num_groups, eps=eps, act=act,
-        interpret=interpret,
+    if not gn_shape_supported(x.shape, num_groups):
+        return _gn_ref(x, scale, bias, num_groups, eps, act)
+    return _fused_group_norm_vjp(
+        x, scale, bias, num_groups, eps, act, interpret
     )
 
 
@@ -246,7 +296,7 @@ def _gn_bwd(num_groups, eps, act, interpret, res, g):
     return vjp(g)
 
 
-fused_group_norm.defvjp(_gn_fwd, _gn_bwd)
+_fused_group_norm_vjp.defvjp(_gn_fwd, _gn_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

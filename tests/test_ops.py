@@ -223,6 +223,112 @@ class TestFusedGNSiLUConv:
         np.testing.assert_allclose(gw, rw, atol=1e-3, rtol=1e-4)
 
 
+class TestFusedNorms:
+    """Interpret-mode parity for the Pallas fused GN/LN kernels
+    (ops/fused_norms.py) against the XLA reference math they replace on
+    TPU. On CPU the production dispatch in ops/norms.py never routes here
+    (see `_fused_enabled`), so these tests drive the kernels directly with
+    interpret=True."""
+
+    def test_group_norm_parity(self):
+        from t2v_turbo_tpu.ops.fused_norms import _gn_ref, fused_group_norm
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(3, 24, 64), jnp.float32)
+        s = jnp.asarray(rng.randn(64), jnp.float32)
+        b = jnp.asarray(rng.randn(64), jnp.float32)
+        for act in (None, "silu"):
+            got = fused_group_norm(x, s, b, 8, 1e-5, act, interpret=True)
+            want = _gn_ref(x, s, b, 8, 1e-5, act)
+            np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def test_group_norm_bf16(self):
+        from t2v_turbo_tpu.ops.fused_norms import _gn_ref, fused_group_norm
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 16, 64) * 10, jnp.bfloat16)
+        s = jnp.ones((64,), jnp.float32)
+        b = jnp.zeros((64,), jnp.float32)
+        got = fused_group_norm(x, s, b, 8, 1e-5, "silu", interpret=True)
+        want = _gn_ref(x, s, b, 8, 1e-5, "silu")
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            got.astype(jnp.float32), want.astype(jnp.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+    def test_group_norm_grad(self):
+        from t2v_turbo_tpu.ops.fused_norms import _gn_ref, fused_group_norm
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+        s = jnp.asarray(rng.randn(32), jnp.float32)
+        b = jnp.asarray(rng.randn(32), jnp.float32)
+        f = lambda x, s, b: jnp.sum(
+            fused_group_norm(x, s, b, 4, 1e-5, "silu", interpret=True) ** 2
+        )
+        r = lambda x, s, b: jnp.sum(_gn_ref(x, s, b, 4, 1e-5, "silu") ** 2)
+        for a, e in zip(
+            jax.grad(f, (0, 1, 2))(x, s, b), jax.grad(r, (0, 1, 2))(x, s, b)
+        ):
+            np.testing.assert_allclose(a, e, atol=1e-4, rtol=1e-4)
+
+    def test_layer_norm_parity_and_row_padding(self):
+        from t2v_turbo_tpu.ops.fused_norms import _ln_ref, fused_layer_norm
+
+        rng = np.random.RandomState(3)
+        # 300 rows: not a multiple of the 256-row block -> exercises padding
+        x = jnp.asarray(rng.randn(300, 64), jnp.float32)
+        s = jnp.asarray(rng.randn(64), jnp.float32)
+        b = jnp.asarray(rng.randn(64), jnp.float32)
+        for act in (None, "silu"):
+            got = fused_layer_norm(x, s, b, 1e-5, act, True)
+            want = _ln_ref(x, s, b, 1e-5, act)
+            np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def test_unsupported_shape_falls_back(self):
+        from t2v_turbo_tpu.ops import fused_norms
+
+        # per-frame f32 block over the VMEM budget -> must not build a
+        # pallas_call at all (the guard ADVICE r4 flagged as dead)
+        big = (1, fused_norms._GN_MAX_FRAME_F32_BYTES // (4 * 32) + 8, 32)
+        assert not fused_norms.gn_shape_supported(big, 32)
+        x = jnp.ones(big, jnp.float32)
+        s = jnp.ones((32,), jnp.float32)
+        b = jnp.zeros((32,), jnp.float32)
+        got = fused_norms.fused_group_norm(x, s, b, 32)
+        want = fused_norms._gn_ref(x, s, b, 32, 1e-5, None)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert not fused_norms.ln_shape_supported((8, 64))  # tiny rows
+        assert not fused_norms.gn_shape_supported((2, 16, 30), 4)  # C % G
+
+    def test_dispatch_inert_on_cpu(self):
+        # ops.norms.group_norm must keep the pure-XLA path on CPU: jaxpr
+        # contains no pallas_call even for an eligible shape.
+        from t2v_turbo_tpu.ops.norms import _fused_enabled, group_norm
+
+        assert not _fused_enabled()
+        x = jnp.ones((2, 8, 8, 64), jnp.float32)
+        jaxpr = jax.make_jaxpr(
+            lambda x: group_norm(x, jnp.ones(64), jnp.zeros(64), 8)
+        )(x)
+        assert "pallas_call" not in str(jaxpr)
+
+    def test_norms_act_matches_separate_silu(self):
+        # group_norm(act='silu') == silu(group_norm(x)) in f32 — the model
+        # call sites fused in round 5 depend on this identity.
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(2, 6, 5, 32), jnp.float32)
+        s = jnp.asarray(rng.randn(32), jnp.float32)
+        b = jnp.asarray(rng.randn(32), jnp.float32)
+        fused = group_norm(x, s, b, 8, 1e-5, "silu")
+        ref = jax.nn.silu(group_norm(x, s, b, 8))
+        np.testing.assert_allclose(fused, ref, atol=1e-7)
+        ln_fused = layer_norm(x.reshape(-1, 32), s, b, 1e-5, "silu")
+        ln_ref = jax.nn.silu(layer_norm(x.reshape(-1, 32), s, b))
+        np.testing.assert_allclose(ln_fused, ln_ref, atol=1e-7)
+
+
 class TestNorms:
     def test_group_norm_matches_torch_semantics(self):
         torch = pytest.importorskip("torch")

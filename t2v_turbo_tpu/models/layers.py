@@ -14,7 +14,8 @@ via ops.attention).
 
 from __future__ import annotations
 
-from typing import Optional
+import os
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -28,23 +29,103 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+class Int8Conv(nn.Module):
+    """Drop-in nn.Conv (2D spatial) running the MXU int8 path.
+
+    v5e's MXU multiplies int8xint8->int32 at ~2x the bf16 rate; measured at
+    the production UNet conv shapes (tests_tpu/bench_int8.py, chained-loop
+    timing): 0.78->0.58 ms (L0 320ch), 0.65->0.44 ms (L1 640ch),
+    0.63->0.47 ms (L2 1280ch) — 25-32% per conv including the dynamic
+    quantization passes, at ~1.2e-2 relative output error per conv
+    (per-output-channel symmetric weight scales + per-tensor dynamic
+    activation scale). Same param schema as nn.Conv ("kernel" (kh,kw,ci,co)
+    f32, "bias" (co,)), so checkpoint import/export and LoRA folding are
+    untouched — quantization is a compute-time transform only.
+
+    Selected by `conv2d(...)` when T2V_INT8_CONV=1 (experimental inference
+    lever, ROADMAP #3; accept/reject numbers in PERF_NOTES r5)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((1, 1), (1, 1))
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        ci = x.shape[-1]
+        w = self.param(
+            "kernel", self.kernel_init, (kh, kw, ci, self.features)
+        )
+        w32 = w.astype(jnp.float32)
+        # 1e-8 floor: zero-init residual tails would otherwise divide by 0
+        ws = (
+            jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-8) / 127.0
+        )  # (Co,)
+        w8 = jnp.clip(jnp.round(w32 / ws), -127, 127).astype(jnp.int8)
+        x32 = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
+        x8 = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        acc = jax.lax.conv_general_dilated(
+            x8, w8, self.strides, self.padding, dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (xs * ws).reshape(1, 1, 1, -1)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def conv2d(features, kernel_size=(3, 3), *, strides=(1, 1),
+           padding=((1, 1), (1, 1)), use_bias=True,
+           kernel_init=nn.initializers.lecun_normal(), dtype=jnp.float32,
+           name=None):
+    """Spatial conv factory: nn.Conv, or Int8Conv under T2V_INT8_CONV=1.
+
+    The flag is read at module-construction (trace) time; both variants
+    share one param schema so a single checkpoint serves either path."""
+    if os.environ.get("T2V_INT8_CONV", "0") == "1":
+        return Int8Conv(
+            features, kernel_size=tuple(kernel_size), strides=tuple(strides),
+            padding=padding, use_bias=use_bias, kernel_init=kernel_init,
+            dtype=dtype, name=name,
+        )
+    return nn.Conv(
+        features, kernel_size=kernel_size, strides=strides, padding=padding,
+        use_bias=use_bias, kernel_init=kernel_init, dtype=dtype, name=name,
+    )
+
+
 def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
 class GroupNorm(nn.Module):
     """GroupNorm over trailing channels with f32 statistics
-    (reference lvdm/basics.py:75-86 GroupNorm32)."""
+    (reference lvdm/basics.py:75-86 GroupNorm32).
+
+    `act="silu"` fuses the trailing activation into the norm — on TPU the
+    dispatch in ops/norms.py folds both into one Pallas pass (one HBM
+    read+write instead of XLA's convert+reduce multi-pass plus a separate
+    elementwise silu on the far side of the kernel boundary)."""
 
     num_groups: int = 32
     eps: float = 1e-5
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return group_norm(x, scale, bias, self.num_groups, self.eps)
+        return group_norm(x, scale, bias, self.num_groups, self.eps, self.act)
 
 
 class LayerNorm(nn.Module):
@@ -431,8 +512,7 @@ class TemporalConvBlock(nn.Module):
             return y.reshape(b, t, h, w, self.channels)
 
         for i, zero in [(1, False), (2, False), (3, False), (4, True)]:
-            x = GroupNorm(32, name=f"norm{i}")(x)
-            x = silu(x)
+            x = GroupNorm(32, act="silu", name=f"norm{i}")(x)
             if i > 1 and self.dropout > 0 and not deterministic:
                 x = nn.Dropout(self.dropout, deterministic=False)(x)
             x = tconv(x, f"conv{i}", zero_init=zero)
@@ -447,7 +527,7 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
+        return conv2d(
             self.out_channels,
             kernel_size=(3, 3),
             strides=(2, 2),
@@ -467,7 +547,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         n, h, w, c = x.shape
         x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(
+        return conv2d(
             self.out_channels,
             kernel_size=(3, 3),
             padding=((1, 1), (1, 1)),
@@ -494,9 +574,8 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, batch_size: Optional[int] = None, deterministic=True):
         out_ch = self.out_channels or self.channels
-        h = GroupNorm(32, name="in_norm")(x)
-        h = silu(h)
-        h = nn.Conv(
+        h = GroupNorm(32, act="silu", name="in_norm")(x)
+        h = conv2d(
             out_ch,
             kernel_size=(3, 3),
             padding=((1, 1), (1, 1)),
@@ -510,13 +589,15 @@ class ResBlock(nn.Module):
             name="emb_proj",
         )(silu(emb))
         if self.use_scale_shift_norm:
+            # FiLM scales the normalized output before the activation, so
+            # the act cannot fuse into the norm here.
             scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
             h = GroupNorm(32, name="out_norm")(h) * (1 + scale) + shift
+            h = silu(h)
         else:
             h = h + emb_out[:, None, None, :]
-            h = GroupNorm(32, name="out_norm")(h)
-        h = silu(h)
-        h = nn.Conv(
+            h = GroupNorm(32, act="silu", name="out_norm")(h)
+        h = conv2d(
             out_ch,
             kernel_size=(3, 3),
             padding=((1, 1), (1, 1)),
@@ -530,8 +611,9 @@ class ResBlock(nn.Module):
         if out_ch == self.channels:
             skip = x
         else:
-            skip = nn.Conv(
-                out_ch, kernel_size=(1, 1), dtype=self.dtype, name="skip_connection"
+            skip = conv2d(
+                out_ch, kernel_size=(1, 1), padding=((0, 0), (0, 0)),
+                dtype=self.dtype, name="skip_connection",
             )(x)
         h = skip + h
 

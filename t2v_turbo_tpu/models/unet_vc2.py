@@ -33,6 +33,7 @@ from .layers import (
     SpatialTransformer,
     TemporalTransformer,
     Upsample,
+    conv2d,
     silu,
 )
 
@@ -141,7 +142,7 @@ class UNetModel(nn.Module):
                 dtype=dt,
             )
 
-        self.conv_in = nn.Conv(
+        self.conv_in = conv2d(
             cfg.model_channels,
             kernel_size=(3, 3),
             padding=((1, 1), (1, 1)),
@@ -216,8 +217,8 @@ class UNetModel(nn.Module):
         self.output_blocks = out_blocks
         self._output_kinds = out_kinds
 
-        self.out_norm = GroupNorm(32)
-        self.out_conv = nn.Conv(
+        self.out_norm = GroupNorm(32, act="silu")
+        self.out_conv = conv2d(
             cfg.out_channels,
             kernel_size=(3, 3),
             padding=((1, 1), (1, 1)),
@@ -308,5 +309,5 @@ class UNetModel(nn.Module):
                 layer, kind, h, emb_f, ctx_f, b, deterministic, record_probs
             )
 
-        h = self.out_conv(silu(self.out_norm(h)))
+        h = self.out_conv(self.out_norm(h))
         return h.reshape(b, t, hh, ww, cfg.out_channels).astype(x.dtype)

@@ -165,6 +165,7 @@ def run_phase(cmd, duration_s: float, log_path: str, run_dir: str,
                 break
             if elapsed >= hard_cap_s:
                 proc.send_signal(signal.SIGKILL)
+                proc.wait(timeout=60)  # reap — no zombie behind the raise
                 raise RuntimeError(
                     f"phase produced only {new_rows} steps in "
                     f"{hard_cap_s:.0f}s; see {log_path}"
@@ -179,11 +180,23 @@ def run_phase(cmd, duration_s: float, log_path: str, run_dir: str,
 
 
 def read_metrics(run_dir: str):
+    """Parse metrics.jsonl, skipping torn lines.
+
+    The trainer appends while we poll every second, so the final line can be
+    a partial write; treat unparseable lines as not-yet-complete rather than
+    aborting the soak run.
+    """
     rows = []
     path = os.path.join(run_dir, "metrics.jsonl")
     if os.path.exists(path):
         with open(path) as f:
-            rows = [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
     return rows
 
 

@@ -13,6 +13,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+import pytest
+
+pytestmark = pytest.mark.tpu  # real-chip suite; CPU CI runs -m 'not tpu'
+
 from t2v_turbo_tpu.ops import attention_xla, flash_attention  # noqa: E402
 
 

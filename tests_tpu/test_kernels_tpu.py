@@ -17,6 +17,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+import pytest
+
+pytestmark = pytest.mark.tpu  # real-chip suite; CPU CI runs -m 'not tpu'
+
 from t2v_turbo_tpu.ops.attention import (  # noqa: E402
     attention_xla,
     attention_xla_bshd,

@@ -36,8 +36,22 @@ MEAN_TOL = 0.25
 STD_TOL = 0.12
 
 
-def _make_v1_trainer(tmp_path, optimizer_name="adamw", steps=STEPS):
+def _make_v1_trainer(tmp_path, optimizer_name="adamw", steps=STEPS,
+                     reward_scale=None):
+    """reward_scale=None -> no reward branch at all; a float -> both toy
+    judges wired through the REAL lcd_loss reward path at that scale."""
     student, sp = T.toy_student()
+    reward_kw = {}
+    lcd_kw = {}
+    if reward_scale is not None:
+        reward_kw = {
+            "reward_fn": T.toy_image_reward,
+            "video_reward_fn": T.toy_video_reward,
+        }
+        lcd_kw = {
+            "reward_scale": reward_scale,
+            "video_reward_scale": reward_scale,
+        }
     trainer = LCDTrainer(
         student_apply=lambda p, z, t, c, fps=None, timestep_cond=None: (
             student.apply(p, z, t, c, timestep_cond=timestep_cond)
@@ -49,7 +63,7 @@ def _make_v1_trainer(tmp_path, optimizer_name="adamw", steps=STEPS):
         solver=T.SOLVER,
         lcd_cfg=LCDConfig(
             w_embedding_dim=T.W_DIM, w_min=T.W_MIN, w_max=T.W_MAX,
-            loss_type="l2",
+            loss_type="l2", **lcd_kw,
         ),
         optimizer=make_optimizer(
             optimizer_name, 1e-3, schedule="cosine", total_steps=steps
@@ -63,6 +77,7 @@ def _make_v1_trainer(tmp_path, optimizer_name="adamw", steps=STEPS):
             seed=0,
         ),
         mesh=make_mesh(seq=1),
+        **reward_kw,
     )
     return trainer, student
 
@@ -162,6 +177,78 @@ class TestV2Distills:
         _assert_distilled(online_errors, "online ")
         ema_errors, _ = T.eval_errors(student, trainer.state["ema"])
         _assert_distilled(ema_errors, "EMA ")
+
+
+class TestRewardFeedbackSteers:
+    """The paper's core contribution — reward feedback on decoded frames
+    steering the consistency student (reference
+    train_t2v_turbo_v1_lora.py:1043-1098) — proven EFFECTIVE, not just
+    wired: the REAL v1 trainer runs with both toy judges and disjoint
+    per-example role masks ON, and the trained student's samples must score
+    measurably higher under each judge than the masked-out control, while a
+    sign-flipped reward scale moves scores the other way and distillation
+    still converges. A detached decode, a dropped mask, or a sign error in
+    lcd_loss's reward branch each fail a specific assertion.
+
+    Calibrated (3000 steps, scale 1.0, 4096 4-step samples): masked-out
+    img=+0.937 vid=-0.076; rewards-on img=+1.158 vid=+0.021; sign-flip
+    img=-0.710 vid=-0.545. Margins below sit ~2-5x inside those gaps."""
+
+    R_STEPS = 3000
+    SCALE = 1.0
+
+    def _train_and_score(self, tmp_path, roles, scale):
+        trainer, student = _make_v1_trainer(
+            tmp_path, steps=self.R_STEPS, reward_scale=scale
+        )
+        metrics = trainer.run(T.v1_data_iter(roles=roles))
+        # masked-out must reach the pure-distill floor (~2e-4); live rewards
+        # DELIBERATELY trade distill for score — the reference's total loss
+        # is distill - reward too — so the live bound only guards against
+        # the reward destroying distillation (observed equilibrium ~1.6e-2)
+        assert float(metrics["distill_loss"]) < (
+            5e-3 if roles == "zero" else 5e-2
+        )
+        samples = T.student_sample(
+            student, trainer.export_student_params(), T.EVAL_MU, T.EVAL_W,
+            jax.random.PRNGKey(10), 4096, 4,
+        )
+        return (
+            T.sample_scores(samples, T.JUDGE_IMG),
+            T.sample_scores(samples, T.JUDGE_VID),
+            metrics,
+        )
+
+    def test_reward_gradient_raises_sample_scores(self, tmp_path):
+        # control: reward machinery fully wired but every example masked out
+        # (role masks are the gate — reference rank roles :218-234)
+        zi, zv, zm = self._train_and_score(tmp_path / "zero", "zero", self.SCALE)
+        # live: image judge on the first half, video judge on the second
+        pi, pv, pm = self._train_and_score(
+            tmp_path / "plus", "halves", self.SCALE
+        )
+        # sign-flip canary
+        mi, mv, _ = self._train_and_score(
+            tmp_path / "minus", "halves", -self.SCALE
+        )
+
+        assert pi > zi + 0.1, (
+            f"image-judge score did not rise with rewards on: {pi} vs "
+            f"masked-out {zi} — the image reward gradient path is detached, "
+            f"mis-masked, or mis-signed"
+        )
+        assert pv > zv + 0.05, (
+            f"video-judge score did not rise: {pv} vs masked-out {zv}"
+        )
+        assert mi < zi - 0.3 and mv < zv - 0.1, (
+            f"sign-flipped reward did not lower scores: img {mi} vs {zi}, "
+            f"vid {mv} vs {zv}"
+        )
+        # the masked-out run's reward_loss metric is exactly the -mean score
+        # of ZERO examples -> masking gated everything (loss==0 contribution)
+        assert np.isfinite(float(zm["reward_loss"]))
+        # live run logged both reward branches
+        assert "reward_loss" in pm and "video_rm_loss" in pm
 
 
 class TestQuantizedOptimizerQuality:

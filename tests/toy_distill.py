@@ -89,8 +89,13 @@ class ToyDenoiser(nn.Module):
     (x, mu) with (t, w)-dependent coefficients, so an MLP over
     [t-embedding | w-embedding] emitting per-channel scales on x and mu can
     represent the optimum EXACTLY — convergence failures then indict the
-    training recipe, not model capacity. Signature matches the UNet apply
-    the trainers drive (incl. the v2 motion_cond kwarg)."""
+    training recipe, not model capacity. The additive head `off` is zero at
+    that optimum (zero-init keeps it reachable); it exists so the REWARD
+    branch has a mean-shift channel: under the symmetric mu distribution a
+    judge's gradient w.r.t. multiplicative coefficients averages to ~0, and
+    without an additive term a reward could only act through higher-order
+    correlations (measured: non-monotone in reward_scale). Signature matches
+    the UNet apply the trainers drive (incl. the v2 motion_cond kwarg)."""
 
     hidden: int = 64
 
@@ -105,10 +110,15 @@ class ToyDenoiser(nn.Module):
         c = z.shape[-1]
         a = nn.Dense(c, kernel_init=nn.initializers.zeros)(h)
         b = nn.Dense(c, kernel_init=nn.initializers.zeros)(h)
+        off = nn.Dense(c, kernel_init=nn.initializers.zeros, name="off")(h)
         shape = (z.shape[0],) + (1,) * (z.ndim - 2) + (c,)
         mu = ctx[:, 0, :].reshape(shape)
         # zero-init around ε̂ = z: the right prediction at high noise
-        return (1.0 + a.reshape(shape)) * z + b.reshape(shape) * mu
+        return (
+            (1.0 + a.reshape(shape)) * z
+            + b.reshape(shape) * mu
+            + off.reshape(shape)
+        )
 
 
 def toy_student(batch=512):
@@ -124,9 +134,25 @@ def toy_student(batch=512):
     return student, params
 
 
-def v1_data_iter(b=512, seed=0):
-    """Clean-latent batches for the v1 (online-teacher) recipe."""
+def v1_data_iter(b=512, seed=0, roles=None):
+    """Clean-latent batches for the v1 (online-teacher) recipe.
+
+    roles: None -> no mask keys; "halves" -> reward_mask selects the first
+    half and video_reward_mask the disjoint second half (the reference's
+    rank-role split, train_t2v_turbo_v1_lora.py:218-234, as per-example
+    masks); "zero" -> both masks all-zero (machinery wired, every example
+    gated out — the masking control)."""
     rng = np.random.RandomState(seed)
+    masks = {}
+    if roles == "halves":
+        half = np.zeros((b,), np.float32)
+        half[: b // 2] = 1.0
+        masks = {"reward_mask": half, "video_reward_mask": 1.0 - half}
+    elif roles == "zero":
+        masks = {
+            "reward_mask": np.zeros((b,), np.float32),
+            "video_reward_mask": np.zeros((b,), np.float32),
+        }
     while True:
         mu = rng.uniform(-1, 1, (b, C)).astype(np.float32)
         x0 = mu + SIGMA * rng.randn(b, C).astype(np.float32)
@@ -134,6 +160,7 @@ def v1_data_iter(b=512, seed=0):
             "latents": x0.reshape((b,) + LAT),
             "ctx": mu.reshape(b, 1, C),
             "uncond_ctx": np.zeros((b, 1, C), np.float32),
+            **masks,
         }
 
 
@@ -214,6 +241,53 @@ def student_sample(student, params, mu, w, key, n, steps, sched=SCHED):
             eps, jnp.asarray(t), jnp.asarray(pt), x, noise
         )
     return np.asarray(denoised).reshape(n, C)
+
+
+# --- toy reward machinery ------------------------------------------------
+# The reference's reward branch decodes the consistency prediction to frames
+# and scores them with frozen judge towers, adding -R·scale to the loss
+# (train_t2v_turbo_v1_lora.py:1043-1098: image RM on decoded frames, video RM
+# on strided frames). The toy keeps that exact structure — a frozen nonlinear
+# "decoder" followed by a frozen linear judge — so a detached decode, a
+# dropped mask, or a sign flip in the production lcd_loss reward path breaks
+# the same assertions the real recipe would.
+P_PIX = 16
+_R_RNG = np.random.RandomState(7)
+_DEC = (_R_RNG.randn(C, P_PIX) / np.sqrt(C)).astype(np.float32)
+
+
+def _unit(v):
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+JUDGE_IMG = _unit(_R_RNG.randn(P_PIX))
+JUDGE_VID = _unit(_R_RNG.randn(P_PIX))
+
+
+def toy_decode(x):
+    """Frozen differentiable 'VAE decode': frame-pool then tanh-project to
+    P_PIX pixels (the 0.3 gain keeps tanh unsaturated at the guided-sample
+    scale (1+w)·mu ≈ 2.7, so the judge keeps gradient there). Stands in for
+    the chunked VAE decode the reference backprops through
+    (train_t2v_turbo_v1_lora.py:1051-1060)."""
+    f = x.reshape(x.shape[0], -1, x.shape[-1]).mean(1)
+    return jnp.tanh(0.3 * (f @ jnp.asarray(_DEC)))
+
+
+def toy_image_reward(model_pred, batch):
+    """(B,) scores — frozen judge over decoded 'pixels'."""
+    return toy_decode(model_pred) @ jnp.asarray(JUDGE_IMG)
+
+
+def toy_video_reward(model_pred, batch):
+    return toy_decode(model_pred) @ jnp.asarray(JUDGE_VID)
+
+
+def sample_scores(samples, judge):
+    """Mean judge score of (N, C) student samples."""
+    return float(
+        np.mean(np.asarray(toy_decode(jnp.asarray(samples))) @ judge)
+    )
 
 
 EVAL_MU = np.array([0.8, -0.5, 0.3, -0.9], np.float32)

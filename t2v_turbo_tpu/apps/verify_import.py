@@ -1,0 +1,484 @@
+"""One-command real-checkpoint verification: import parity + renders.
+
+The day real VideoCrafter2 / T2V-Turbo / ModelScope weights land, this is
+the single command that proves the import path end-to-end:
+
+  python -m t2v_turbo_tpu.apps.verify_import \\
+      --checkpoint /path/model.ckpt [--lora-ckpt unet_lora.pt | --unet-ckpt unet.pt] \\
+      [--render 10 --render-steps 4,8,16] --output-dir runs/verify
+  python -m t2v_turbo_tpu.apps.verify_import --backbone ms --ms-dir /path/dir
+
+Three verification layers land in one JSON report (report.json, also printed):
+
+1. key coverage — every tensor the checkpoint holds must be consumed by an
+   importer (strict-load parity with the reference's load_model_checkpoint,
+   reference utils/common_utils.py:399-411); unconsumed keys outside the
+   known-ignorable set (EMA shadows, schedule buffers, the penultimate
+   CLIP block) are mapping gaps and fail the run.
+2. roundtrip parity — the imported UNet params re-exported through
+   io/torch_export.py (itself pinned by committed torch goldens) must equal
+   the source tensors bit-for-bit; catches shape-compatible mis-mappings
+   (a transposed kernel, swapped q/k) that coverage can't see.
+3. forward smoke + validation renders — each family runs a jitted forward
+   with the imported weights (finite outputs, sane stats), then the
+   reference's fixed 10-prompt validation set renders at each --render-steps
+   count (reference utils/common_utils.py:322-387) to mp4 under
+   <output-dir>/validation/.
+
+Dry-run tested on synthetic checkpoints (tests/test_verify_import.py), so
+the command is guaranteed runnable before any real weights exist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import re
+import sys
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class TrackingSD(dict):
+    """State-dict wrapper recording which keys an importer consumed."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def coverage(self, ignorable: Tuple[str, ...] = ()) -> Dict[str, Any]:
+        pats = [re.compile(p) for p in ignorable]
+        unconsumed = sorted(set(self) - self.consumed)
+        expected = [k for k in unconsumed if any(p.search(k) for p in pats)]
+        gaps = [k for k in unconsumed if not any(p.search(k) for p in pats)]
+        return {
+            "keys_total": len(self),
+            "keys_consumed": len(self.consumed),
+            "unconsumed_expected": len(expected),
+            "unconsumed_gaps": gaps[:50],
+            "ok": not gaps,
+        }
+
+
+# keys a VC2 LatentDiffusion checkpoint holds that no importer should touch
+VC2_TOP_LEVEL_SKIPPED = (
+    r"^model_ema\.",          # LitEma shadow params (training/ema.py)
+    r"^(log|sqrt_|alphas|betas|posterior|lvlb|scale_arr)",  # schedule buffers
+    r"^logvar$",
+)
+CLIP_IGNORABLE = (
+    r"(^|\.)attn_mask$",      # causal-mask buffer, rebuilt analytically
+    r"^text_projection$",     # pooled-CLIP head; penultimate embedder
+    r"^logit_scale$",         # never runs it (condition.py:273-283)
+    r"^transformer\.resblocks\.(\d+)\.",  # filtered per-depth below
+)
+VAE_IGNORABLE = (
+    r"^loss\.",               # LPIPS/discriminator of the training VAE
+)
+MS_TEXT_IGNORABLE = (
+    r"position_ids$",         # HF buffer
+    r"text_projection",       # pooled head unused by the MS pipeline
+    r"logit_scale",
+    r"final_layer_norm",      # MS uses hidden_states[-2]; ln_final unused
+)
+
+
+def _clip_ignorable(layers: int) -> Tuple[str, ...]:
+    """The penultimate embedder never runs the last block (reference
+    condition.py:273-283), so its keys are expected-unconsumed."""
+    return CLIP_IGNORABLE[:-1] + (
+        rf"^transformer\.resblocks\.{layers - 1}\.",
+    )
+
+
+def _roundtrip_unet(unet_sd: Dict[str, np.ndarray], params, cfg):
+    """Re-export imported params to the torch layout and diff vs source."""
+    from ..io.torch_export import export_unet_params
+
+    back = export_unet_params(params, cfg)
+    deltas = {}
+    missing = sorted(set(unet_sd) - set(back))
+    extra = sorted(set(back) - set(unet_sd))
+    for k, v in back.items():
+        if k in unet_sd:
+            deltas[k] = float(np.max(np.abs(np.asarray(v, np.float32) -
+                                            np.asarray(unet_sd[k], np.float32))))
+    worst = sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
+    mx = max(deltas.values()) if deltas else float("nan")
+    return {
+        "keys_compared": len(deltas),
+        "max_abs_delta": mx,
+        "worst": [{"key": k, "delta": d} for k, d in worst],
+        "missing_from_export": missing[:20],
+        "extra_in_export": extra[:20],
+        "ok": bool(deltas) and mx == 0.0 and not missing,
+    }
+
+
+def _stats(x) -> Dict[str, Any]:
+    a = np.asarray(x, np.float32)
+    return {
+        "shape": list(a.shape),
+        "finite": bool(np.isfinite(a).all()),
+        "mean": float(a.mean()),
+        "std": float(a.std()),
+    }
+
+
+def _forward_smoke_vc2(spec, unet_params, vae_params, text_params,
+                       text_cfg=None, frames=8, height=64, width=64):
+    """Jitted forward per family with the imported weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip_text import CLIPTextModel
+    from ..models.unet_vc2 import UNetModel
+    from ..models.vae import AutoencoderKL
+    from ..utils.tokenizer import CLIPTokenizer
+
+    unet = UNetModel(cfg=spec.unet, dtype=jnp.float32)
+    vae = AutoencoderKL(cfg=spec.vae, dtype=jnp.float32)
+    tkw = {"cfg": text_cfg} if text_cfg is not None else {}
+    text_model = CLIPTextModel(dtype=jnp.float32, **tkw)
+    ctx_dim = spec.unet.context_dim
+    h8, w8 = height // 8, width // 8
+
+    toks = jnp.asarray(CLIPTokenizer()(["a cat"]))
+    ctx = jax.jit(text_model.apply)(text_params, toks)
+    out = {"text": _stats(ctx)}
+
+    if ctx.shape[-1] != ctx_dim:  # tiny synthetic cfgs may mismatch
+        key = jax.random.PRNGKey(0)
+        ctx = jax.random.normal(key, (1, 77, ctx_dim), jnp.float32)
+    z = jnp.zeros((1, frames, h8, w8, spec.unet.in_channels), jnp.float32)
+    eps = jax.jit(
+        lambda p, z, c: unet.apply(
+            p, z, jnp.zeros((1,), jnp.int32), c,
+            fps=jnp.full((1,), 16.0) if spec.unet.fps_cond else None,
+            timestep_cond=(
+                jnp.zeros((1, spec.unet.time_cond_proj_dim), jnp.float32)
+                if spec.unet.time_cond_proj_dim else None
+            ),
+        )
+    )(unet_params, z, ctx)
+    out["unet"] = _stats(eps)
+
+    img = jnp.linspace(-1, 1, height * width * 3).reshape(1, height, width, 3)
+    mean, _ = jax.jit(
+        lambda p, x: vae.apply(p, x, method=vae.encode)
+    )(vae_params, img.astype(jnp.float32))
+    dec = jax.jit(
+        lambda p, z: vae.apply(p, z, method=vae.decode)
+    )(vae_params, mean)
+    out["vae"] = _stats(dec)
+    out["ok"] = all(v["finite"] for v in out.values() if isinstance(v, dict))
+    return out
+
+
+def verify_vc2(checkpoint: str, spec, unet_ckpt: Optional[str] = None,
+               lora_ckpt: Optional[str] = None, clip_layers: int = 24,
+               text_cfg=None, smoke_shape=(8, 64, 64)) -> Dict[str, Any]:
+    """Layer-1/2/3a verification of a VC2-family checkpoint. Returns
+    (report, (unet_params, vae_params, text_params)) via report['_params']."""
+    from ..io.torch_import import (
+        import_clip_text_params,
+        import_unet_params,
+        import_vae_params,
+        load_torch_state_dict,
+        split_vc2_checkpoint,
+    )
+
+    sd = load_torch_state_dict(checkpoint)
+    unet_sd, vae_sd, clip_sd = split_vc2_checkpoint(sd)
+    matched = len(unet_sd) + len(vae_sd) + len(clip_sd)
+    top_pats = [re.compile(p) for p in VC2_TOP_LEVEL_SKIPPED]
+    top_gaps = [
+        k for k in sd
+        if not (k.startswith("model.diffusion_model.")
+                or k.startswith("first_stage_model.")
+                or k.startswith("cond_stage_model.model."))
+        and not any(p.search(k) for p in top_pats)
+    ]
+
+    unet_sd = TrackingSD(unet_sd)
+    vae_sd = TrackingSD(vae_sd)
+    clip_sd = TrackingSD(clip_sd)
+
+    unet_params = {"params": import_unet_params(unet_sd, spec.unet)}
+    report: Dict[str, Any] = {"backbone": "vc2", "checkpoint": checkpoint}
+    report["unet"] = unet_sd.coverage()
+    report["unet"]["roundtrip"] = _roundtrip_unet(
+        dict(unet_sd), unet_params, spec.unet
+    )
+
+    if unet_ckpt:
+        student_sd = TrackingSD(load_torch_state_dict(unet_ckpt))
+        unet_params = {"params": import_unet_params(student_sd, spec.unet)}
+        report["unet_ckpt"] = student_sd.coverage()
+        report["unet_ckpt"]["roundtrip"] = _roundtrip_unet(
+            dict(student_sd), unet_params, spec.unet
+        )
+    if lora_ckpt:
+        if lora_ckpt.endswith(".npz"):
+            from ..lora import load_lora_npz, merge_lora
+
+            lora = load_lora_npz(lora_ckpt)
+            unet_params = merge_lora(unet_params, lora)
+            report["lora"] = {"format": "npz", "ok": True}
+        else:
+            from ..io.lora_import import apply_lora_pt, load_lora_pt
+
+            pairs = load_lora_pt(lora_ckpt)
+            unet_params = apply_lora_pt(unet_params, pairs, spec.unet)
+            report["lora"] = {
+                "format": "pt", "pairs_folded": len(pairs), "ok": True,
+            }
+
+    vae_params = {"params": import_vae_params(
+        vae_sd, n_levels=len(spec.vae.ch_mult), n_res=spec.vae.num_res_blocks
+    )}
+    report["vae"] = vae_sd.coverage(VAE_IGNORABLE)
+    text_params = {"params": import_clip_text_params(
+        clip_sd, layers=clip_layers
+    )}
+    report["text"] = clip_sd.coverage(_clip_ignorable(clip_layers))
+    report["top_level_gaps"] = top_gaps[:50]
+
+    f, h, w = smoke_shape
+    report["forward"] = _forward_smoke_vc2(
+        spec, unet_params, vae_params, text_params, text_cfg=text_cfg,
+        frames=f, height=h, width=w,
+    )
+    report["ok"] = (
+        report["unet"]["ok"] and report["unet"]["roundtrip"]["ok"]
+        and report["vae"]["ok"] and report["text"]["ok"]
+        and not top_gaps and report["forward"]["ok"]
+        and (matched > 0)
+        and ("unet_ckpt" not in report or (
+            report["unet_ckpt"]["ok"]
+            and report["unet_ckpt"]["roundtrip"]["ok"]))
+    )
+    report["_params"] = (unet_params, vae_params, text_params)
+    return report
+
+
+def verify_ms(ms_dir: str, unet_kwargs: Optional[Dict] = None,
+              lora_ckpt: Optional[str] = None,
+              smoke_shape=(8, 64, 64)) -> Dict[str, Any]:
+    """MS (diffusers layout) verification: coverage + forward smoke.
+    No torch exporter exists for the MS family, so roundtrip parity is
+    replaced by the committed MS oracle tests (tests/ms_oracle.py, 2e-4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.torch_import import (
+        _find_weight_file,
+        import_diffusers_vae_params,
+        import_hf_clip_text_model_params,
+        import_ms_unet_params,
+        load_state_dict_any,
+    )
+
+    report: Dict[str, Any] = {"backbone": "ms", "ms_dir": ms_dir}
+    unet_sd = TrackingSD(load_state_dict_any(
+        _find_weight_file(os.path.join(ms_dir, "unet"))
+    ))
+    vae_sd = TrackingSD(load_state_dict_any(
+        _find_weight_file(os.path.join(ms_dir, "vae"))
+    ))
+    text_sd = TrackingSD(load_state_dict_any(
+        _find_weight_file(os.path.join(ms_dir, "text_encoder"))
+    ))
+    unet_params = {"params": import_ms_unet_params(
+        unet_sd, **(unet_kwargs or {})
+    )}
+    report["unet"] = unet_sd.coverage()
+    if lora_ckpt:
+        from ..io.lora_import import apply_lora_pt_ms, load_lora_pt
+        from ..models.unet_ms import MSUNetConfig
+
+        pairs = load_lora_pt(lora_ckpt)
+        unet_params = apply_lora_pt_ms(
+            unet_params, pairs, MSUNetConfig(**(unet_kwargs or {}))
+        )
+        report["lora"] = {"format": "pt", "pairs_folded": len(pairs), "ok": True}
+    vae_params = {"params": import_diffusers_vae_params(vae_sd)}
+    report["vae"] = vae_sd.coverage(VAE_IGNORABLE)
+    text_params, text_cfg = import_hf_clip_text_model_params(text_sd)
+    report["text"] = text_sd.coverage(MS_TEXT_IGNORABLE)
+
+    from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+    from ..models.unet_ms import MSUNetConfig, MSUNet3DConditionModel
+    from ..models.vae import AutoencoderKL, VAEConfig
+
+    ucfg = MSUNetConfig(**(unet_kwargs or {}))
+    unet = MSUNet3DConditionModel(cfg=ucfg, dtype=jnp.float32)
+    f, h, w = smoke_shape
+    ctx = jax.jit(CLIPTextModel(
+        cfg=CLIPTextConfig(**text_cfg), dtype=jnp.float32
+    ).apply)(
+        {"params": text_params},
+        jnp.zeros((1, 77), jnp.int32),
+    )
+    fwd: Dict[str, Any] = {"text": _stats(ctx)}
+    if ctx.shape[-1] != ucfg.cross_attention_dim:
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(0), (1, 77, ucfg.cross_attention_dim)
+        )
+    eps = jax.jit(
+        lambda p, z, c: unet.apply(
+            p, z, jnp.zeros((1,), jnp.int32), c,
+            timestep_cond=(
+                jnp.zeros((1, ucfg.time_cond_proj_dim), jnp.float32)
+                if ucfg.time_cond_proj_dim else None
+            ),
+        )
+    )(unet_params,
+      jnp.zeros((1, f, h // 8, w // 8, ucfg.in_channels), jnp.float32), ctx)
+    fwd["unet"] = _stats(eps)
+    vae = AutoencoderKL(cfg=VAEConfig(), dtype=jnp.float32)
+    img = jnp.linspace(-1, 1, h * w * 3).reshape(1, h, w, 3).astype(jnp.float32)
+    mean, _ = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))(
+        vae_params, img
+    )
+    dec = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))(
+        vae_params, mean
+    )
+    fwd["vae"] = _stats(dec)
+    fwd["ok"] = all(v["finite"] for v in fwd.values() if isinstance(v, dict))
+    report["forward"] = fwd
+    report["ok"] = (report["unet"]["ok"] and report["vae"]["ok"]
+                    and report["text"]["ok"] and fwd["ok"])
+    report["_params"] = (unet_params, vae_params, text_params, text_cfg)
+    return report
+
+
+def render_validation(args, report: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """Render the reference validation prompts at each step count through
+    the REAL pipeline built from the verified checkpoint
+    (reference utils/common_utils.py:322-387)."""
+    import jax
+
+    from . import generate as gen
+    from ..io.video import save_video
+    from ..pipelines.vc2 import video_to_uint8
+    from ..training.validation import DEFAULT_VALIDATION_PROMPTS
+
+    pipe = gen.build_pipeline(args)
+    prompts = list(DEFAULT_VALIDATION_PROMPTS)[: args.render]
+    steps = [int(s) for s in args.render_steps.split(",")]
+    vdir = os.path.join(args.output_dir, "validation")
+    os.makedirs(vdir, exist_ok=True)
+    rows = []
+    for n_steps in steps:
+        for i, prompt in enumerate(prompts):
+            t0 = time.time()
+            video = pipe(
+                prompt=prompt, height=args.height, width=args.width,
+                frames=args.frames, num_inference_steps=n_steps,
+                key=jax.random.PRNGKey(i),
+            )
+            u8 = video_to_uint8(video)
+            path = save_video(
+                u8[0], os.path.join(vdir, f"s{n_steps}_p{i}.mp4"),
+                fps=args.save_fps,
+            )
+            rows.append({
+                "prompt": prompt, "steps": n_steps, "path": path,
+                "finite": bool(np.isfinite(np.asarray(video)).all()),
+                "seconds": round(time.time() - t0, 1),
+            })
+            print(f"# rendered s{n_steps} p{i} {path}", file=sys.stderr)
+    return rows
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Verify a reference checkpoint imports correctly"
+    )
+    p.add_argument("--backbone", default="vc2", choices=["vc2", "ms"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--unet-ckpt", default=None)
+    p.add_argument("--lora-ckpt", default=None)
+    p.add_argument("--ms-dir", default=None)
+    p.add_argument("--config", default="configs/vc2_t2v_512.yaml")
+    p.add_argument("--clip-layers", type=int, default=24)
+    p.add_argument("--output-dir", default="runs/verify")
+    p.add_argument("--render", type=int, default=0,
+                   help="render the first N validation prompts (0 = skip)")
+    p.add_argument("--render-steps", default="4,8,16")
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--save-fps", type=int, default=8)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.backbone == "ms":
+        if not args.ms_dir:
+            print("error: --backbone ms requires --ms-dir", file=sys.stderr)
+            raise SystemExit(2)
+        report = verify_ms(args.ms_dir, lora_ckpt=args.lora_ckpt)
+    else:
+        if not args.checkpoint:
+            print("error: provide --checkpoint", file=sys.stderr)
+            raise SystemExit(2)
+        from ..config import load_vc2_config
+
+        spec = load_vc2_config(args.config, time_cond_proj_dim=256)
+        report = verify_vc2(
+            args.checkpoint, spec, unet_ckpt=args.unet_ckpt,
+            lora_ckpt=args.lora_ckpt, clip_layers=args.clip_layers,
+        )
+    report.pop("_params", None)
+
+    if args.render > 0:
+        # renders go through apps.generate's own loader (bfloat16, the
+        # serving path) — the verified import above is the f32 parity pass
+        args.random_weights = False
+        args.backbone = args.backbone
+        args.guidance_scale = 7.5
+        args.motion_gs = 0.05
+        args.use_motion_cond = False
+        args.percentage = 0.3
+        args.num_videos = 1
+        args.steps = 4
+        args.lcm_origin_steps = 50
+        args.data_shards = args.seq_shards = args.model_shards = 1
+        report["renders"] = render_validation(args, report)
+        report["ok"] = report["ok"] and all(
+            r["finite"] for r in report["renders"]
+        )
+
+    path = os.path.join(args.output_dir, "report.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k in ("backbone", "ok")} | {"report": path}))
+    if not report["ok"]:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

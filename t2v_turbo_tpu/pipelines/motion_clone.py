@@ -19,6 +19,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..diffusion import DDIMSolver, DiffusionSchedule
 from ..diffusion.lcm import predicted_origin, predicted_noise as pred_noise_of
@@ -50,8 +51,14 @@ def motion_transfer_sample(
     cfg: MotionCloneConfig,
     fps=None,
     reward_grad_fn: Optional[Callable] = None,  # (latents, ts) -> d(reward)/dz
+    return_trace: bool = False,
 ):
-    """Returns the final denoised latents (1, T, h, w, C)."""
+    """Returns the final denoised latents (1, T, h, w, C).
+
+    return_trace=True returns (latents, trace) where trace["motion_loss"]
+    is the UNSCALED rank loss at each in-band step, measured at the
+    pre-update latents — the motion statistic the guidance is descending,
+    observable without re-running the capture forward."""
     n = cfg.num_ddim_timesteps
     b = ref_latents.shape[0]
     nd = ref_latents.ndim
@@ -80,19 +87,23 @@ def motion_transfer_sample(
     # Two jitted step programs compiled ONCE and reused across the loop
     # (the in-band step is a full teacher fwd+bwd — eager it dispatches
     # op-by-op every step; reward_grad_fn must be traceable jax code).
+    # temp_loss_scale rides in as a TRACED operand, not a baked constant,
+    # so sweeping the scale (ablations, the effectiveness tests) replays
+    # one cached XLA program instead of recompiling the teacher fwd+bwd.
     @jax.jit
-    def motion_step(p, z, ts, index, z_example):
-        score, cond_eps = motion_prior_score(
+    def motion_step(p, z, ts, index, z_example, temp_loss_scale):
+        score, cond_eps, raw_loss = motion_prior_score(
             unet_apply_mutable, p, z, ts, z_example,
             original_ctx, inference_ctx, fps=fps,
-            temp_loss_scale=cfg.temp_loss_scale, rank_k=cfg.rank_k,
+            temp_loss_scale=temp_loss_scale, rank_k=cfg.rank_k,
+            return_loss=True,
         )
         uncond_eps = unet_apply(p, z, ts, uncond_ctx, fps=fps).astype(
             jnp.float32
         )
         if reward_grad_fn is not None and cfg.reward_scale > 0:
             score = score + cfg.reward_scale * reward_grad_fn(z, ts)
-        return update(z, ts, index, cond_eps, uncond_eps, score)
+        return update(z, ts, index, cond_eps, uncond_eps, score), raw_loss
 
     @jax.jit
     def plain_step(p, z, ts, index):
@@ -107,14 +118,21 @@ def motion_transfer_sample(
 
     # 2. guided DDIM sampling from high noise to low (host loop: the band
     # structure is static, each iteration is one jitted dispatch)
+    motion_losses = []
     for i in reversed(range(n)):
         index = jnp.full((b,), i, jnp.int32)
         ts = solver.index_to_timestep(index)
         if i >= band_lo:
-            latents = motion_step(params, latents, ts, index, inter[i])
+            latents, raw_loss = motion_step(
+                params, latents, ts, index, inter[i],
+                jnp.float32(cfg.temp_loss_scale),
+            )
+            motion_losses.append(raw_loss)
         else:
             latents = plain_step(params, latents, ts, index)
 
     # after the final grid step latents sit at the alpha_cumprods[0] level —
     # effectively the clean sample (reference decodes them directly, :299)
+    if return_trace:
+        return latents, {"motion_loss": np.asarray(motion_losses)}
     return latents

@@ -80,9 +80,16 @@ def motion_prior_score(
     fps=None,
     temp_loss_scale: float = 1.0,
     rank_k: int = 1,
-) -> Tuple[jax.Array, jax.Array]:
+    return_loss: bool = False,
+) -> Tuple[jax.Array, ...]:
     """score = ∇_latents MotionClone loss; also returns the cond teacher
-    output at `latents` (reference get_motion_prior_score:59-84)."""
+    output at `latents` (reference get_motion_prior_score:59-84).
+
+    return_loss=True appends the UNSCALED rank loss — the motion statistic
+    itself — so callers (guided sampling traces, effectiveness tests) can
+    observe how far the temporal-attention pattern sits from the reference's
+    without paying a second capture forward. The scale multiplies only the
+    score, exactly as the reference's temp_loss_scale does."""
     _, probs_ref = temp_attn_probs(
         unet_apply_mutable, params, example_latents, ts, original_ctx, fps
     )
@@ -92,10 +99,16 @@ def motion_prior_score(
         out, probs = temp_attn_probs(
             unet_apply_mutable, params, z, ts, inference_ctx, fps
         )
-        return temp_loss_scale * motion_rank_loss(probs, probs_ref, rank_k), out
+        raw = motion_rank_loss(probs, probs_ref, rank_k)
+        return temp_loss_scale * raw, (out, raw)
 
-    (_, cond_out), score = jax.value_and_grad(loss_fn, has_aux=True)(latents)
-    return jax.lax.stop_gradient(score), jax.lax.stop_gradient(cond_out)
+    (_, (cond_out, raw)), score = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(latents)
+    out = (jax.lax.stop_gradient(score), jax.lax.stop_gradient(cond_out))
+    if return_loss:
+        out = out + (jax.lax.stop_gradient(raw),)
+    return out
 
 
 def reverse_ddim_loop(

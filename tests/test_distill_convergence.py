@@ -123,53 +123,60 @@ class TestV1Distills:
         assert rows[-1]["loss"] < rows[0]["loss"]
 
 
+def _make_v2_trainer(tmp_path, steps=STEPS, ema_decay=0.95, **v2cfg_kw):
+    """REAL v2 trainer (stored-teacher lcd_v2_loss through trainer.run) on
+    the toy student; v2cfg_kw overrides LCDV2Config fields (e.g. motion_gs)."""
+    student, sp = T.toy_student()
+
+    def apply(p, z, t, c, fps=None, timestep_cond=None, motion_cond=None):
+        return student.apply(
+            p, z, t, c, timestep_cond=timestep_cond,
+            motion_cond=motion_cond,
+        )
+
+    v2cfg = LCDV2Config(
+        w_embedding_dim=T.W_DIM, w_min=T.W_MIN, w_max=T.W_MAX,
+        loss_type="l2", **v2cfg_kw,
+    )
+
+    def loss_override(trainable, batch, key, ema=None):
+        return lcd_v2_loss(
+            trainable, batch, key, student_apply=apply,
+            target_params=ema, sched=T.SCHED, solver=T.SOLVER, cfg=v2cfg,
+        )
+
+    trainer = LCDTrainer(
+        student_apply=apply,
+        teacher_apply=lambda p, z, t, c, fps=None: z,  # unused in v2
+        teacher_params={},
+        student_params=sp,
+        sched=T.SCHED,
+        solver=T.SOLVER,
+        lcd_cfg=None,
+        optimizer=make_optimizer(
+            "adamw", 1e-3, schedule="cosine", total_steps=steps
+        ),
+        cfg=TrainerConfig(
+            output_dir=str(tmp_path),
+            max_steps=steps,
+            checkpoint_every=10**6,
+            log_every=1000,
+            lora_rank=None,
+            ema_decay=ema_decay,
+            seed=0,
+        ),
+        mesh=make_mesh(seq=1),
+        loss_fn_override=loss_override,
+    )
+    return trainer, student
+
+
 class TestV2Distills:
     def test_v2_latent_recipe_distills(self, tmp_path):
         """The v2 recipe — stored teacher outputs, motion-guidance gating
         (gate off -> exact), EMA target network — distills equally; both the
         online student and the EMA export must match the teacher."""
-        student, sp = T.toy_student()
-
-        def apply(p, z, t, c, fps=None, timestep_cond=None, motion_cond=None):
-            return student.apply(
-                p, z, t, c, timestep_cond=timestep_cond,
-                motion_cond=motion_cond,
-            )
-
-        v2cfg = LCDV2Config(
-            w_embedding_dim=T.W_DIM, w_min=T.W_MIN, w_max=T.W_MAX,
-            loss_type="l2",
-        )
-
-        def loss_override(trainable, batch, key, ema=None):
-            return lcd_v2_loss(
-                trainable, batch, key, student_apply=apply,
-                target_params=ema, sched=T.SCHED, solver=T.SOLVER, cfg=v2cfg,
-            )
-
-        trainer = LCDTrainer(
-            student_apply=apply,
-            teacher_apply=lambda p, z, t, c, fps=None: z,  # unused in v2
-            teacher_params={},
-            student_params=sp,
-            sched=T.SCHED,
-            solver=T.SOLVER,
-            lcd_cfg=None,
-            optimizer=make_optimizer(
-                "adamw", 1e-3, schedule="cosine", total_steps=STEPS
-            ),
-            cfg=TrainerConfig(
-                output_dir=str(tmp_path),
-                max_steps=STEPS,
-                checkpoint_every=10**6,
-                log_every=1000,
-                lora_rank=None,
-                ema_decay=0.95,
-                seed=0,
-            ),
-            mesh=make_mesh(seq=1),
-            loss_fn_override=loss_override,
-        )
+        trainer, student = _make_v2_trainer(tmp_path)
         metrics = trainer.run(T.v2_data_iter())
         assert metrics["loss"] < 5e-4
 
@@ -177,6 +184,104 @@ class TestV2Distills:
         _assert_distilled(online_errors, "online ")
         ema_errors, _ = T.eval_errors(student, trainer.state["ema"])
         _assert_distilled(ema_errors, "EMA ")
+
+
+class TestMotionGuidanceSteers:
+    """The v2 paper's contribution — motion-prior guidance inside the
+    distillation target (reference train_latent_t2v_turbo_v2.py:1214-1233) —
+    proven EFFECTIVE, not just gated: the REAL v2 trainer runs on batches
+    carrying a constant nonzero score with use_motion_guide ON, and the
+    trained few-step student's samples must land on the GUIDED consistency
+    function — an oracle (toy_distill.oracle_lcm_sample) that applies the
+    reference's correction formula independently of lcd_v2_loss. At
+    motion_gs=0.5 the guided flow's 1-step samples sit displaced from the
+    unguided flow by ≈2.6·|s| per dim (8-10x the mean tolerance) exactly
+    along -score; at 2/4 steps the TRUE consistency function attenuates the
+    displacement (re-queries at out-of-band timesteps follow the
+    mean-reverting unguided flow — see the oracle's docstring), and the
+    student must track THAT, not the naive 50-step rollout. A trainer that
+    ignores the score matches the unguided flow instead (1-step off by
+    ~2.6); a sign flip lands 2x the displacement away; a broken band gate
+    shifts the magnitude — each fails a specific assertion. The gate-off
+    control (same score, use_motion_guide=False) must still match the
+    UNGUIDED flow, so a trainer that reads the score while the per-example
+    gate is down fails too. The exact (1-√ᾱ)^0.5 factor is pinned
+    separately to machine precision in
+    test_v2_motion.py::TestMotionQuirkFactor."""
+
+    SCORE = np.array([0.8, -0.6, -1.0, 0.7], np.float32)
+    GS = 0.5
+
+    def _oracle_errors(self, student, params, guide_kw, n=4096):
+        """Per-step-count (mean_err, std_err) of student samples vs the
+        guided consistency oracle (noise-paired key sequence)."""
+        out = {}
+        for k in (1, 2, 4):
+            s = T.student_sample(
+                student, params, T.EVAL_MU, T.EVAL_W,
+                jax.random.PRNGKey(6 + k), n, k,
+            )
+            o = T.oracle_lcm_sample(
+                T.EVAL_MU, T.EVAL_W, jax.random.PRNGKey(6 + k), n, k,
+                **guide_kw,
+            )
+            out[k] = (
+                float(np.abs(s.mean(0) - o.mean(0)).max()),
+                float(np.abs(s.std(0) - o.std(0)).max()),
+            )
+        return out
+
+    def test_motion_guidance_steers_student(self, tmp_path):
+        guided_kw = {"score": self.SCORE, "motion_gs": self.GS}
+
+        # guided: the student must distill the guided consistency function
+        trainer, student = _make_v2_trainer(
+            tmp_path / "guided", motion_gs=self.GS
+        )
+        metrics = trainer.run(
+            T.v2_data_iter(score_vec=self.SCORE, motion_gate=True)
+        )
+        assert metrics["loss"] < 5e-4, "guided distillation did not converge"
+        params = trainer.state["trainable"]
+        _assert_distilled(
+            self._oracle_errors(student, params, guided_kw), "guided "
+        )
+
+        # 1-step displacement from the UNGUIDED flow: right direction
+        # (-score), right magnitude (the guided flow's own displacement)
+        unguided_t50 = T.teacher_rollout(
+            T.EVAL_MU, T.EVAL_W, jax.random.PRNGKey(5), 4096
+        )
+        guided_t50 = T.teacher_rollout(
+            T.EVAL_MU, T.EVAL_W, jax.random.PRNGKey(5), 4096, **guided_kw
+        )
+        oracle_disp = guided_t50.mean(0) - unguided_t50.mean(0)
+        samples = T.student_sample(
+            student, params, T.EVAL_MU, T.EVAL_W, jax.random.PRNGKey(11),
+            4096, 1,
+        )
+        student_disp = samples.mean(0) - unguided_t50.mean(0)
+        assert (np.sign(student_disp) == -np.sign(self.SCORE)).all(), (
+            f"guided student displaced {student_disp} — not along -score "
+            f"{-self.SCORE}: the score is ignored or mis-signed in training"
+        )
+        np.testing.assert_allclose(
+            student_disp, oracle_disp, atol=2 * MEAN_TOL,
+            err_msg="guided student's displacement does not match the "
+            "reference-formula oracle (wrong gate band or factor scale)",
+        )
+
+        # gate-off control: same nonzero score in every batch, per-example
+        # use_motion_guide False -> the score must be IGNORED
+        trainer, student = _make_v2_trainer(
+            tmp_path / "gated", motion_gs=self.GS
+        )
+        metrics = trainer.run(
+            T.v2_data_iter(score_vec=self.SCORE, motion_gate=False)
+        )
+        assert metrics["loss"] < 5e-4
+        off_errors, _ = T.eval_errors(student, trainer.state["trainable"])
+        _assert_distilled(off_errors, "gate-off ")
 
 
 class TestRewardFeedbackSteers:

@@ -134,6 +134,92 @@ class TestLCDV2:
         assert float(l_online) != pytest.approx(float(l_ema), rel=1e-6)
 
 
+class TestMotionQuirkFactor:
+    """The motion-prior correction must shift the teacher branch's x_prev by
+    EXACTLY -motion_gs · (1-√ᾱ_t)^0.5 · √(1-ᾱ_prev) · score — the
+    reference's quirky factor comes from gathering alpha_schedule =
+    sqrt(alphas_cumprod) and applying (1-·)**0.5
+    (train_latent_t2v_turbo_v2.py:705,1213-1226), NOT the plain
+    √(1-ᾱ_t) a naive reading would produce (30% off at mid ᾱ). The
+    expected value below is derived from the schedule tables directly, so a
+    wrong factor form, sign, or gate in lcd_v2_loss mismatches to machine
+    precision. x_prev is observed by capturing the target net's input."""
+
+    def _xprev(self, batch, cfg, sched, solver):
+        captured = []
+
+        def student_apply(p, z, t, c, fps=None, timestep_cond=None,
+                          motion_cond=None):
+            return 0.1 * z
+
+        def capture_apply(p, z, t, c, fps=None, timestep_cond=None,
+                          motion_cond=None):
+            captured.append(np.asarray(z))
+            return jnp.zeros_like(z)
+
+        lcd_v2_loss(  # eager on purpose: the closure capture needs no jit
+            {}, batch, jax.random.PRNGKey(3), student_apply=student_apply,
+            target_apply=capture_apply, target_params={}, sched=sched,
+            solver=solver, cfg=cfg,
+        )
+        assert len(captured) == 1
+        return captured[0]
+
+    def test_xprev_shift_matches_reference_formula(self):
+        sched = DiffusionSchedule.create()
+        solver = DDIMSolver.create(np.asarray(sched.alphas_cumprod))
+        rng = np.random.RandomState(0)
+        b = 4
+        # ex0: gated + in-band; ex1: out-of-band; ex2: use_motion_guide off;
+        # ex3: gated at a LOW grid index under percentage=1.0, where the
+        # quirk factor (1-√ᾱ)^0.5 = 0.543 differs sharply from both 1 and
+        # √(1-ᾱ) = 0.654 — the sharp leg of the factor check
+        index = np.array([45, 10, 45, 10], np.int32)
+        gate = np.array([True, True, False, True])
+        batch = {
+            "index": index,
+            "z_t": rng.randn(b, 2, 4, 4, 4).astype(np.float32),
+            "cond_teacher_out": rng.randn(b, 2, 4, 4, 4).astype(np.float32),
+            "uncond_teacher_out": rng.randn(b, 2, 4, 4, 4).astype(np.float32),
+            "score": rng.randn(b, 2, 4, 4, 4).astype(np.float32),
+            "prompt_emb": rng.randn(b, 7, 16).astype(np.float32),
+            "use_motion_guide": gate,
+        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        zero_score = dict(batch, score=jnp.zeros_like(batch["score"]))
+
+        for percentage, live in [(0.3, [0]), (1.0, [0, 1, 3])]:
+            cfg = LCDV2Config(
+                w_embedding_dim=8, motion_gs=0.7, percentage=percentage
+            )
+            shift = self._xprev(batch, cfg, sched, solver) - self._xprev(
+                zero_score, cfg, sched, solver
+            )
+            t = np.asarray(solver.index_to_timestep(jnp.asarray(index)))
+            abar = np.asarray(sched.alphas_cumprod)[t]
+            ac_prev = np.asarray(solver.ddim_alpha_cumprods_prev)[index]
+            factor = (1.0 - np.sqrt(abar)) ** 0.5  # the reference quirk
+            expected = (
+                -cfg.motion_gs
+                * factor[:, None, None, None, None]
+                * np.sqrt(1.0 - ac_prev)[:, None, None, None, None]
+                * np.asarray(batch["score"])
+            )
+            for ex in range(b):
+                if ex in live:
+                    np.testing.assert_allclose(
+                        shift[ex], expected[ex], rtol=2e-5, atol=2e-6,
+                        err_msg=f"percentage={percentage} example {ex}",
+                    )
+                    assert np.abs(shift[ex]).max() > 0.05  # shift is real
+                else:
+                    np.testing.assert_allclose(
+                        shift[ex], 0.0, atol=1e-7,
+                        err_msg=f"gated-out example {ex} was shifted "
+                        f"(percentage={percentage})",
+                    )
+
+
 class TestMotion:
     def _apply_mutable(self, model):
         def f(p, z, ts, ctx, fps=None):

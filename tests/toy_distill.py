@@ -35,6 +35,7 @@ from t2v_turbo_tpu.diffusion import (
 from t2v_turbo_tpu.diffusion.lcm import (
     predicted_noise,
     predicted_origin,
+    scalings_for_boundary_conditions,
     timestep_embedding,
 )
 from t2v_turbo_tpu.diffusion.schedule import extract
@@ -164,13 +165,24 @@ def v1_data_iter(b=512, seed=0, roles=None):
         }
 
 
-def v2_data_iter(b=512, seed=0):
+def v2_data_iter(b=512, seed=0, score_vec=None, motion_gate=False):
     """Precomputed-teacher batches for the v2 recipe: {index, z_t,
     cond/uncond_teacher_out, score, prompt_emb, use_motion_guide} exactly as
     training/preprocess.py would emit (reference preprocess outputs,
-    train_latent_t2v_turbo_v2.py:1169-1196). score=0 and the motion gate off
-    keep the analytic teacher exact."""
+    train_latent_t2v_turbo_v2.py:1169-1196). Default (score=0, gate off)
+    keeps the analytic teacher exact; score_vec=(C,) installs that constant
+    motion-prior score on every example and motion_gate sets each example's
+    use_motion_guide flag — the toy stand-in for a preprocess job that
+    emitted real scores (reference preprocess_with_motion_prior.py:371-408),
+    so the REAL v2 trainer can be proven to steer by them."""
     rng = np.random.RandomState(seed)
+    if score_vec is None:
+        score = np.zeros((b,) + LAT, np.float32)
+    else:
+        score = np.broadcast_to(
+            np.asarray(score_vec, np.float32).reshape((1,) + LAT), (b,) + LAT
+        ).copy()
+    gate = np.full((b,), bool(motion_gate))
     while True:
         mu = rng.uniform(-1, 1, (b, C)).astype(np.float32)
         x0 = mu + SIGMA * rng.randn(b, C).astype(np.float32)
@@ -187,43 +199,76 @@ def v2_data_iter(b=512, seed=0):
             "z_t": zl,
             "cond_teacher_out": np_eps(zl, t, mub),
             "uncond_teacher_out": np_eps(zl, t, np.zeros_like(mub)),
-            "score": np.zeros_like(zl),
+            "score": score,
             "prompt_emb": mu.reshape(b, 1, C),
-            "use_motion_guide": np.zeros((b,), bool),
+            "use_motion_guide": gate,
         }
 
 
-def teacher_rollout(mu, w, key, n, solver=SOLVER, sched=SCHED):
-    """The teacher's full 50-step guided DDIM chain — the exact flow the LCD
-    student distills (teacher CFG estimate + solver.ddim_step per grid
-    index, as lcd_loss's teacher_branch). Returns (n, C) samples."""
-    x = jax.random.normal(key, (n,) + LAT)
-    mu_b = jnp.broadcast_to(jnp.asarray(mu).reshape((1,) + LAT), (n,) + LAT)
+def _flow_step(x, i, mu_b, w, solver, sched,
+               score_b=None, motion_gs=0.0, percentage=0.3):
+    """One guided-teacher DDIM grid step at index i — the shared body of
+    teacher_rollout and the consistency oracle.
+
+    score_b=(1,)+LAT applies the v2 motion-prior correction per the
+    REFERENCE formula (train_latent_t2v_turbo_v2.py:705,1213-1226:
+    peps -= motion_gs · (1 - √ᾱ_t)^0.5 · score inside the top `percentage`
+    of grid indices) — written here from the reference, NOT by calling
+    lcd_v2_loss, so a sign/gate/factor error in the production trainer
+    cannot hide by replicating itself into the oracle."""
+    n = x.shape[0]
+    n_grid = int(solver.ddim_timesteps.shape[0])
+    mu_b = jnp.broadcast_to(mu_b, (n,) + LAT)
     zero = jnp.zeros_like(mu_b)
     w_b = jnp.float32(w)
+    idx = jnp.full((n,), i, jnp.int32)
+    t = solver.index_to_timestep(idx)
+    ce = analytic_eps(x, t, mu_b, sched)
+    ue = analytic_eps(x, t, zero, sched)
+    cx0 = predicted_origin(ce, t, x, "epsilon", sched)
+    ceps = predicted_noise(ce, t, x, "epsilon", sched)
+    ux0 = predicted_origin(ue, t, x, "epsilon", sched)
+    ueps = predicted_noise(ue, t, x, "epsilon", sched)
+    px0 = cx0 + w_b * (cx0 - ux0)
+    peps = ceps + w_b * (ceps - ueps)
+    if score_b is not None:
+        in_band = i >= (1.0 - percentage) * n_grid
+        sqrt_abar = extract(sched.sqrt_alphas_cumprod, t, x.ndim)
+        factor = jnp.where(in_band, jnp.sqrt(1.0 - sqrt_abar), 0.0)
+        peps = peps - motion_gs * factor * score_b
+    return solver.ddim_step(px0, peps, idx)
+
+
+def teacher_rollout(mu, w, key, n, solver=SOLVER, sched=SCHED,
+                    score=None, motion_gs=0.0, percentage=0.3):
+    """The teacher's full 50-step guided DDIM chain — the exact flow the LCD
+    student distills (teacher CFG estimate + solver.ddim_step per grid
+    index, as lcd_loss's teacher_branch; score → the v2 motion-prior
+    correction, see _flow_step). Returns (n, C) samples."""
+    x = jax.random.normal(key, (n,) + LAT)
+    mu_b = jnp.asarray(mu).reshape((1,) + LAT)
+    n_grid = int(solver.ddim_timesteps.shape[0])
+    score_b = (
+        None if score is None
+        else jnp.asarray(score, jnp.float32).reshape((1,) + LAT)
+    )
 
     def body(x, i):
-        idx = jnp.full((n,), i, jnp.int32)
-        t = solver.index_to_timestep(idx)
-        ce = analytic_eps(x, t, mu_b, sched)
-        ue = analytic_eps(x, t, zero, sched)
-        cx0 = predicted_origin(ce, t, x, "epsilon", sched)
-        ceps = predicted_noise(ce, t, x, "epsilon", sched)
-        ux0 = predicted_origin(ue, t, x, "epsilon", sched)
-        ueps = predicted_noise(ue, t, x, "epsilon", sched)
-        px0 = cx0 + w_b * (cx0 - ux0)
-        peps = ceps + w_b * (ceps - ueps)
-        return solver.ddim_step(px0, peps, idx), None
+        return _flow_step(
+            x, i, mu_b, w, solver, sched, score_b, motion_gs, percentage
+        ), None
 
-    x, _ = jax.lax.scan(body, x, jnp.arange(49, -1, -1, dtype=jnp.int32))
+    x, _ = jax.lax.scan(
+        body, x, jnp.arange(n_grid - 1, -1, -1, dtype=jnp.int32)
+    )
     return np.asarray(x).reshape(n, C)
 
 
-def student_sample(student, params, mu, w, key, n, steps, sched=SCHED):
+def _lcm_sample(eps_fn, mu, w, key, n, steps, sched=SCHED):
     """Few-step LCM sampling with the INFERENCE scheduler math
     (diffusion/scheduler.py step + lcm_timesteps grid), mirroring
     pipelines/vc2.py's loop — so a train-grid/inference-grid mismatch fails
-    here too. Returns (n, C) samples."""
+    here too. eps_fn(x, tb, ctx, w_emb) -> ε̂. Returns (n, C) samples."""
     scheduler = LCMScheduler(schedule=sched)
     ts = scheduler.timesteps(steps, 50)
     prev = np.concatenate([ts[1:], ts[-1:]])
@@ -234,13 +279,63 @@ def student_sample(student, params, mu, w, key, n, steps, sched=SCHED):
     denoised = x
     for i, (t, pt) in enumerate(zip(ts, prev)):
         tb = jnp.full((n,), t, jnp.int32)
-        eps = student.apply(params, x, tb, ctx, timestep_cond=w_emb)
+        eps = eps_fn(x, tb, ctx, w_emb)
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, x.shape) if i < steps - 1 else None
         x, denoised = scheduler.step(
             eps, jnp.asarray(t), jnp.asarray(pt), x, noise
         )
     return np.asarray(denoised).reshape(n, C)
+
+
+def student_sample(student, params, mu, w, key, n, steps, sched=SCHED):
+    """Few-step LCM samples from a trained student (see _lcm_sample)."""
+    return _lcm_sample(
+        lambda x, tb, ctx, w_emb: student.apply(
+            params, x, tb, ctx, timestep_cond=w_emb
+        ),
+        mu, w, key, n, steps, sched,
+    )
+
+
+def oracle_lcm_sample(mu, w, key, n, steps, score=None, motion_gs=0.0,
+                      percentage=0.3, sched=SCHED, solver=SOLVER):
+    """Few-step LCM sampling with the student replaced by the TRUE (guided)
+    consistency function, evaluated per query by rolling the guided teacher
+    flow from (x, t) down the full grid and inverting the boundary-condition
+    combine back to the ε̂ a perfect student would have to emit. Shares
+    _lcm_sample (and the key-split sequence) with student_sample, so
+    student-vs-oracle comparisons are noise-paired.
+
+    This is the toy-exact answer to "what should a perfectly distilled
+    guided student produce at k LCM steps". Notably the guided mean
+    displacement ATTENUATES as k grows: re-queries at out-of-band timesteps
+    are governed by the unguided flow, which is mean-reverting in this
+    Gaussian family — a property of the true consistency function, not a
+    training artifact (the 1-step oracle equals the guided 50-step
+    rollout)."""
+    mu_b = jnp.asarray(mu).reshape((1,) + LAT)
+    score_b = (
+        None if score is None
+        else jnp.asarray(score, jnp.float32).reshape((1,) + LAT)
+    )
+    grid = np.asarray(SOLVER.ddim_timesteps if solver is SOLVER
+                      else solver.ddim_timesteps)
+
+    def eps_fn(x, tb, ctx, w_emb):
+        t = int(np.asarray(tb)[0])  # static per LCM loop iteration
+        idx = int(np.where(grid == t)[0][0])
+        f = x
+        for i in range(idx, -1, -1):
+            f = _flow_step(
+                f, i, mu_b, w, solver, sched, score_b, motion_gs, percentage
+            )
+        abar = extract(sched.alphas_cumprod, tb, x.ndim)
+        c_skip, c_out = scalings_for_boundary_conditions(jnp.float32(t))
+        x0 = (f - c_skip * x) / c_out
+        return (x - jnp.sqrt(abar) * x0) / jnp.sqrt(1.0 - abar)
+
+    return _lcm_sample(eps_fn, mu, w, key, n, steps, sched)
 
 
 # --- toy reward machinery ------------------------------------------------
@@ -294,10 +389,14 @@ EVAL_MU = np.array([0.8, -0.5, 0.3, -0.9], np.float32)
 EVAL_W = 2.0
 
 
-def eval_errors(student, params, n=4096):
+def eval_errors(student, params, n=4096, rollout_kw=None):
     """Per-step-count (mean_err, std_err) of student samples vs the
-    teacher's 50-step rollout at a fixed (mu, w) operating point."""
-    t50 = teacher_rollout(EVAL_MU, EVAL_W, jax.random.PRNGKey(5), n)
+    teacher's 50-step rollout at a fixed (mu, w) operating point.
+    rollout_kw (e.g. {"score": s, "motion_gs": g}) selects a guided
+    teacher flow as the comparison target."""
+    t50 = teacher_rollout(
+        EVAL_MU, EVAL_W, jax.random.PRNGKey(5), n, **(rollout_kw or {})
+    )
     out = {}
     for k in (1, 2, 4):
         s = student_sample(

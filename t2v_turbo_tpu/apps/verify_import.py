@@ -361,7 +361,7 @@ def verify_ms(ms_dir: str, unet_kwargs: Optional[Dict] = None,
     return report
 
 
-def render_validation(args, report: Dict[str, Any]) -> List[Dict[str, Any]]:
+def render_validation(args) -> List[Dict[str, Any]]:
     """Render the reference validation prompts at each step count through
     the REAL pipeline built from the verified checkpoint
     (reference utils/common_utils.py:322-387)."""
@@ -457,7 +457,6 @@ def main(argv=None):
         # renders go through apps.generate's own loader (bfloat16, the
         # serving path) — the verified import above is the f32 parity pass
         args.random_weights = False
-        args.backbone = args.backbone
         args.guidance_scale = 7.5
         args.motion_gs = 0.05
         args.use_motion_cond = False
@@ -466,7 +465,7 @@ def main(argv=None):
         args.steps = 4
         args.lcm_origin_steps = 50
         args.data_shards = args.seq_shards = args.model_shards = 1
-        report["renders"] = render_validation(args, report)
+        report["renders"] = render_validation(args)
         report["ok"] = report["ok"] and all(
             r["finite"] for r in report["renders"]
         )

@@ -17,11 +17,23 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
+# Library resolution: a source tree / editable install has the C++ sources
+# at <repo>/native/videoio (buildable via make); a wheel install ships only
+# the prebuilt .so at t2v_turbo_tpu/_native/libvideoio.so (setup.py hook).
+_REPO_NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
     "videoio",
 )
+_PKG_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_native"
+)
+if os.path.isdir(_REPO_NATIVE_DIR):
+    _NATIVE_DIR = _REPO_NATIVE_DIR
+elif os.path.exists(os.path.join(_PKG_NATIVE_DIR, "libvideoio.so")):
+    _NATIVE_DIR = _PKG_NATIVE_DIR
+else:  # neither: keep the repo path so the error message names it
+    _NATIVE_DIR = _REPO_NATIVE_DIR
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libvideoio.so")
 
 
@@ -56,7 +68,8 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) or _stale():
+    can_build = os.path.exists(os.path.join(_NATIVE_DIR, "Makefile"))
+    if can_build and (not os.path.exists(_LIB_PATH) or _stale()):
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
@@ -68,6 +81,13 @@ def _load():
                 ) from e
             # a stale .so that fails to rebuild (no toolchain on this host):
             # fall through and let the symbol check below decide
+    if not os.path.exists(_LIB_PATH):
+        raise RuntimeError(
+            f"libvideoio.so not found at {_LIB_PATH} and no buildable "
+            "sources alongside it (wheel built without the native library?); "
+            "install from a source tree or rebuild the wheel on a host with "
+            "the ffmpeg dev libraries"
+        )
     lib = ctypes.CDLL(_LIB_PATH)
     # newest symbol first: a library from before the audio decoder would
     # otherwise die with a bare AttributeError mid-binding and available()

@@ -14,6 +14,7 @@ via ops.attention).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Optional, Sequence, Tuple
 
@@ -29,6 +30,46 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _int8_conv(x32, w32, strides, padding, dn):
+    """int8xint8->int32 MXU conv with dynamic symmetric quantization.
+
+    Straight-through backward: int8 arrays carry no tangent in JAX, so
+    without a custom VJP every gradient through this op is silently zero —
+    the whole UNet below conv_in would stop learning if the T2V_INT8_CONV
+    flag leaked into a training run. The VJP differentiates the float conv
+    instead (the standard fake-quant/QAT estimator), so training under the
+    flag is quantization-aware rather than broken."""
+    # 1e-8 floor: zero-init residual tails would otherwise divide by 0
+    ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-8) / 127.0
+    w8 = jnp.clip(jnp.round(w32 / ws), -127, 127).astype(jnp.int8)
+    xs = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        x8, w8, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (xs * ws).reshape(1, 1, 1, -1)
+
+
+def _int8_conv_fwd(x32, w32, strides, padding, dn):
+    return _int8_conv(x32, w32, strides, padding, dn), (x32, w32)
+
+
+def _int8_conv_bwd(strides, padding, dn, res, g):
+    x32, w32 = res
+    _, vjp = jax.vjp(
+        lambda xx, ww: jax.lax.conv_general_dilated(
+            xx, ww, strides, padding, dimension_numbers=dn
+        ),
+        x32, w32,
+    )
+    return vjp(g)
+
+
+_int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)
+
+
 class Int8Conv(nn.Module):
     """Drop-in nn.Conv (2D spatial) running the MXU int8 path.
 
@@ -40,7 +81,9 @@ class Int8Conv(nn.Module):
     (per-output-channel symmetric weight scales + per-tensor dynamic
     activation scale). Same param schema as nn.Conv ("kernel" (kh,kw,ci,co)
     f32, "bias" (co,)), so checkpoint import/export and LoRA folding are
-    untouched — quantization is a compute-time transform only.
+    untouched — quantization is a compute-time transform only. Gradients
+    flow via the straight-through VJP in `_int8_conv` (float-conv backward),
+    so the flag cannot silently detach a training graph.
 
     Selected by `conv2d(...)` when T2V_INT8_CONV=1 (experimental inference
     lever, ROADMAP #3; accept/reject numbers in PERF_NOTES r5)."""
@@ -60,23 +103,16 @@ class Int8Conv(nn.Module):
         w = self.param(
             "kernel", self.kernel_init, (kh, kw, ci, self.features)
         )
-        w32 = w.astype(jnp.float32)
-        # 1e-8 floor: zero-init residual tails would otherwise divide by 0
-        ws = (
-            jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-8) / 127.0
-        )  # (Co,)
-        w8 = jnp.clip(jnp.round(w32 / ws), -127, 127).astype(jnp.int8)
-        x32 = x.astype(jnp.float32)
-        xs = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
-        x8 = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
         )
-        acc = jax.lax.conv_general_dilated(
-            x8, w8, self.strides, self.padding, dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
+        y = _int8_conv(
+            x.astype(jnp.float32), w.astype(jnp.float32),
+            tuple(self.strides),
+            self.padding if isinstance(self.padding, str)
+            else tuple(tuple(p) for p in self.padding),
+            dn,
         )
-        y = acc.astype(jnp.float32) * (xs * ws).reshape(1, 1, 1, -1)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(jnp.float32)

@@ -44,20 +44,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .norms import _apply_act  # one act table for kernel and XLA fallback
+
 
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:  # uninitialized backend in odd test envs
         return False
-
-
-def _apply_act(y, act):
-    if act is None:
-        return y
-    if act == "silu":
-        return y * jax.nn.sigmoid(y)
-    raise ValueError(f"unsupported fused activation: {act}")
 
 
 # ---------------------------------------------------------------------------
@@ -300,12 +294,23 @@ _fused_group_norm_vjp.defvjp(_gn_fwd, _gn_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_layer_norm(x, scale, bias, eps=1e-5, act=None, interpret=False):
-    """LayerNorm(+act) over the trailing axis of (R, C) via one fused pass."""
+def _fused_layer_norm_vjp(x, scale, bias, eps, act, interpret):
     return _ln_impl(
         x, scale, bias, eps=eps, act=act, block_rows=_LN_BLOCK_ROWS,
         interpret=interpret,
     )
+
+
+def fused_layer_norm(x, scale, bias, eps=1e-5, act=None, interpret=False):
+    """LayerNorm(+act) over the trailing axis of (R, C) via one fused pass.
+
+    Matches `ops.norms.layer_norm` (then act) numerically. Shapes outside
+    the (R, C) layout or the VMEM budget fall back to the XLA reference
+    math, same contract as `fused_group_norm`.
+    """
+    if not ln_shape_supported(x.shape):
+        return _ln_ref(x, scale, bias, eps, act)
+    return _fused_layer_norm_vjp(x, scale, bias, eps, act, interpret)
 
 
 def _ln_fwd(x, scale, bias, eps, act, interpret):
@@ -324,4 +329,4 @@ def _ln_bwd(eps, act, interpret, res, g):
     return vjp(g)
 
 
-fused_layer_norm.defvjp(_ln_fwd, _ln_bwd)
+_fused_layer_norm_vjp.defvjp(_ln_fwd, _ln_bwd)

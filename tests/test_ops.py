@@ -301,6 +301,13 @@ class TestFusedNorms:
         np.testing.assert_allclose(got, want, atol=1e-6)
         assert not fused_norms.ln_shape_supported((8, 64))  # tiny rows
         assert not fused_norms.gn_shape_supported((2, 16, 30), 4)  # C % G
+        # fused_layer_norm must self-guard too (same contract as GN): a
+        # shape the kernel can't take returns the XLA math, not a crash
+        xs = jnp.asarray(np.random.RandomState(5).randn(8, 64), jnp.float32)
+        s64, b64 = jnp.ones((64,), jnp.float32), jnp.zeros((64,), jnp.float32)
+        got = fused_norms.fused_layer_norm(xs, s64, b64)
+        want = fused_norms._ln_ref(xs, s64, b64, 1e-5, None)
+        np.testing.assert_allclose(got, want, atol=1e-6)
 
     def test_dispatch_inert_on_cpu(self):
         # ops.norms.group_norm must keep the pure-XLA path on CPU: jaxpr
@@ -327,6 +334,46 @@ class TestFusedNorms:
         ln_fused = layer_norm(x.reshape(-1, 32), s, b, 1e-5, "silu")
         ln_ref = jax.nn.silu(layer_norm(x.reshape(-1, 32), s, b))
         np.testing.assert_allclose(ln_fused, ln_ref, atol=1e-7)
+
+
+class TestInt8Conv:
+    """The T2V_INT8_CONV inference lever (models/layers.py): forward within
+    the measured ~1.2e-2 per-conv error band of nn.Conv, and — the round-5
+    review regression — gradients must FLOW (int8 arrays carry no tangent,
+    so without the straight-through VJP a training run under the flag
+    silently learns nothing below conv_in)."""
+
+    def _setup(self):
+        import flax.linen as nn
+        from t2v_turbo_tpu.models.layers import Int8Conv
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+        q = Int8Conv(24)
+        f = nn.Conv(24, kernel_size=(3, 3), padding=((1, 1), (1, 1)))
+        params = f.init(jax.random.PRNGKey(0), x)
+        return q, f, params, x
+
+    def test_forward_parity(self):
+        q, f, params, x = self._setup()
+        got = q.apply(params, x)
+        want = f.apply(params, x)
+        scale = float(jnp.abs(want).max())
+        assert float(jnp.abs(got - want).max()) / scale < 4e-2
+
+    def test_gradients_flow_straight_through(self):
+        q, f, params, x = self._setup()
+        lq = lambda p, x: jnp.sum(q.apply(p, x) ** 2)
+        lf = lambda p, x: jnp.sum(f.apply(p, x) ** 2)
+        gq_p, gq_x = jax.grad(lq, (0, 1))(params, x)
+        gf_p, gf_x = jax.grad(lf, (0, 1))(params, x)
+        for a, e in zip(jax.tree.leaves(gq_p), jax.tree.leaves(gf_p)):
+            assert float(jnp.abs(a).max()) > 0, "int8 conv detached the grads"
+            # STE backward uses the float conv of the same residuals; the
+            # only drift is the quantized forward inside the loss cotangent
+            rel = float(jnp.abs(a - e).max()) / (float(jnp.abs(e).max()) + 1e-9)
+            assert rel < 0.1, rel
+        assert float(jnp.abs(gq_x).max()) > 0
 
 
 class TestNorms:

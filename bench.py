@@ -621,6 +621,113 @@ def profile_bench():
     )
 
 
+def operating_points_bench():
+    """`python bench.py --op-points`: measure every OTHER operating point
+    the reference publishes (BASELINE.md table; the 4-step 16f 320x512 VC2
+    headline is main()'s job):
+
+      - T2V-Turbo-v2 recipe: 16 steps, lcm_origin_steps=200, 320x512
+        (reference predict.py:78-79,121; app.py:169)
+      - frame envelope top: 48 frames, 4 steps, 320x512
+        (reference app.py:342-348, predict.py:91-95)
+      - T2V-Turbo (MS): 4 steps, 16 frames, 256x256
+        (reference app_ms.py:276-282)
+
+    Random bf16 weights (identical compute to trained ones), completion
+    forced via host transfer. Prints one JSON line with all three."""
+    from t2v_turbo_tpu.diffusion import DiffusionSchedule
+    from t2v_turbo_tpu.models import UNetConfig, UNetModel
+    from t2v_turbo_tpu.models.unet_ms import MSUNet3DConditionModel, MSUNetConfig
+    from t2v_turbo_tpu.models.vae import AutoencoderKL, VAEConfig
+    from t2v_turbo_tpu.pipelines.ms import T2VTurboMSPipeline
+    from t2v_turbo_tpu.pipelines.vc2 import T2VTurboVC2Pipeline
+    from t2v_turbo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    dtype = jnp.bfloat16
+    results = {}
+
+    def measure(pipe, embeds, h, w, frames, steps, origin, n=6):
+        def one(seed):
+            return pipe(
+                prompt_embeds=embeds, height=h, width=w, frames=frames,
+                num_inference_steps=steps, lcm_origin_steps=origin,
+                key=jax.random.PRNGKey(seed),
+            )
+
+        t0 = time.time()
+        out = one(0)
+        _ = np.asarray(out[0, 0, 0, 0])
+        print(f"#   compile+first video: {time.time()-t0:.0f}s", file=sys.stderr)
+        t0 = time.time()
+        for i in range(n):
+            out = one(i + 1)
+        _ = np.asarray(out[0, 0, 0, 0])
+        dt = (time.time() - t0) / n
+        return round(60.0 / dt, 2), round(dt * 1e3 / steps, 1)
+
+    vae = AutoencoderKL(cfg=VAEConfig(), dtype=dtype)
+    vae_params = jax.jit(lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), dtype)))(
+        jax.random.PRNGKey(1)
+    )
+
+    # --- VC2 backbone points (one param set serves both: no shape params) ---
+    cfg = UNetConfig(time_cond_proj_dim=256)
+    unet = UNetModel(cfg=cfg, dtype=dtype)
+    unet_params = jax.jit(
+        lambda k: unet.init(
+            k, jnp.zeros((1, 16, 40, 64, 4), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 1024), dtype), fps=jnp.full((1,), 16.0),
+            timestep_cond=jnp.zeros((1, 256), dtype),
+        )
+    )(jax.random.PRNGKey(0))
+    pipe = T2VTurboVC2Pipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        text_model=None, text_params=None, tokenizer=None,
+        schedule=DiffusionSchedule.create(), dtype=dtype,
+    )
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 1024), dtype)
+
+    print("# v2 recipe: 16 steps, origin 200, 16f 320x512", file=sys.stderr)
+    vpm, spm = measure(pipe, embeds, 320, 512, 16, 16, 200)
+    results["v2_16step_videos_per_min"] = vpm
+    results["v2_16step_step_ms"] = spm
+
+    print("# frame envelope: 48f, 4 steps, 320x512", file=sys.stderr)
+    vpm, spm = measure(pipe, embeds, 320, 512, 48, 4, 50, n=4)
+    results["vc2_48f_videos_per_min"] = vpm
+    results["vc2_48f_step_ms"] = spm
+
+    del pipe, unet_params  # free ~2.8 GB of UNet state before the MS point
+
+    # --- MS backbone point ---
+    ucfg = MSUNetConfig(time_cond_proj_dim=256)
+    ms_unet = MSUNet3DConditionModel(cfg=ucfg, dtype=dtype)
+    ms_params = jax.jit(
+        lambda k: ms_unet.init(
+            k, jnp.zeros((1, 16, 32, 32, 4), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 1024), dtype),
+            timestep_cond=jnp.zeros((1, 256), dtype),
+        )
+    )(jax.random.PRNGKey(3))
+    ms_pipe = T2VTurboMSPipeline(
+        unet=ms_unet, unet_params=ms_params, vae=vae, vae_params=vae_params,
+        text_model=None, text_params=None, tokenizer=None,
+        schedule=DiffusionSchedule.create(), dtype=dtype,
+    )
+    print("# MS backbone: 4 steps, 16f 256x256", file=sys.stderr)
+    vpm, spm = measure(ms_pipe, embeds, 256, 256, 16, 4, 50)
+    results["ms_4step_256_videos_per_min"] = vpm
+    results["ms_4step_256_step_ms"] = spm
+
+    print(json.dumps({
+        "metric": "operating_points",
+        "value": results["v2_16step_videos_per_min"],
+        "unit": "videos/min (v2 16-step)",
+        **results,
+    }))
+
+
 def main():
     from t2v_turbo_tpu.utils.cache import enable_persistent_cache
 
@@ -756,5 +863,7 @@ if __name__ == "__main__":
         train_bench(rewards="--rewards" in sys.argv)
     elif "--profile" in sys.argv:
         profile_bench()
+    elif "--op-points" in sys.argv:
+        operating_points_bench()
     else:
         main()
